@@ -1,0 +1,440 @@
+"""Feature engineering — the core of the reference pipeline.
+
+Re-expresses ``/root/reference/notebooks/10_feature_engineering.py`` as
+pure DataFrame transforms over the hex index:
+
+- k-ring neighborhood aggregation (demographics/traffic)  — L126-197
+- competitive features: in-ring counts, nearest-distance, gravity
+  intensity via metro-blocked distance join                — L209-283
+- POI features (anchor counts)                             — L292-324
+- cannibalization vs own stores                            — L379-406
+- final assembly: left-join families onto the site base,
+  null-fill contract (numeric features never null)         — L759-803
+
+Every family also has an ``*_oracle_sql()`` twin producing ANSI SQL for
+DuckDB over the same parquet tables, via the shared dialect-neutral
+synthesis CTEs — the correctness gate.
+
+Scale design (100 TB posture):
+- ring expansion is a broadcasted 7/19/37-row dimension join — no shuffle;
+- the grid join shuffles on cell_id: high-cardinality, near-uniform key
+  (urban-core skew handled by operators/skew.py salting when a cell's
+  entity list explodes);
+- distance joins are *blocked* (metro key here; coarse-cell prefix in
+  operators/knn.py at scale) so the cross product is bounded;
+- aggregations are single-pass partial+final hash aggs (map-side combine);
+- every float output is rounded at the end (oracle-stable), never mid-chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DISTANCE_FLOOR_MILES, GRAVITY_EPS, TRADE_AREA_RADIUS_MILES
+from ..functions import hex_sql
+from ..functions.exprs import dround
+from . import rings
+
+MILES = TRADE_AREA_RADIUS_MILES
+
+
+def haversine_col(lat1, lon1, lat2, lon2):
+    """Native-expression haversine (reference's explicit no-UDF kernel,
+    `notebooks/10_feature_engineering.py:235-243`)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(7917.511798) * F.asin(F.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# Family 1: ring demographics (J1 + A1/A2)
+# ---------------------------------------------------------------------------
+
+def demographics_ring(spark: SparkSession, k: int = 1) -> DataFrame:
+    """Population + weighted demographic means over the k-ring.
+
+    Reference `notebooks/10_feature_engineering.py:126-144` (k=1) and
+    L162-173 (k=2 daytime population).  Weighted mean = SUM(x*w)/SUM(w) in
+    one pass (A2).
+    """
+    sites = spark.table("sites")
+    grid = spark.table("hex_grid")
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner")
+    pop = F.sum("population")
+    return (
+        joined.groupBy("site_id")
+        .agg(
+            pop.alias(f"population_{k}ring"),
+            dround(F.sum(F.col("median_income") * F.col("population")) / pop, 4).alias(
+                f"median_income_{k}ring"
+            ),
+            dround(F.sum(F.col("target_demo_pct") * F.col("population")) / pop, 6).alias(
+                f"target_demo_pct_{k}ring"
+            ),
+            dround(F.sum(F.col("college_pct") * F.col("population")) / pop, 6).alias(
+                f"college_pct_{k}ring"
+            ),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+
+
+def demographics_ring_oracle_sql(k: int = 1) -> str:
+    w = hex_sql.sites_sql()
+    g = hex_sql.grid_sql()
+    ring = rings.ring_pairs_oracle_sql("SELECT site_id, q, r FROM sites", k)
+    return f"""
+WITH sites AS ({w}), hex_grid AS ({g}), ring AS ({ring})
+SELECT site_id,
+       SUM(population) AS population_{k}ring,
+       (FLOOR((SUM(median_income * population) / SUM(population)) * 10000.0 + 0.5) / 10000.0) AS median_income_{k}ring,
+       (FLOOR((SUM(target_demo_pct * population) / SUM(population)) * 1000000.0 + 0.5) / 1000000.0) AS target_demo_pct_{k}ring,
+       (FLOOR((SUM(college_pct * population) / SUM(population)) * 1000000.0 + 0.5) / 1000000.0) AS college_pct_{k}ring,
+       COUNT(*) AS n_cells
+FROM ring JOIN hex_grid ON ring.neighbor_h3 = hex_grid.cell_id
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Family 2: ring traffic (A3/A4)
+# ---------------------------------------------------------------------------
+
+def traffic_ring(spark: SparkSession, k: int = 1) -> DataFrame:
+    """Max pedestrian / mean transit over the ring
+    (`notebooks/10_feature_engineering.py:184-197`)."""
+    sites = spark.table("sites")
+    grid = spark.table("hex_grid")
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner")
+    return (
+        joined.groupBy("site_id")
+        .agg(
+            dround(F.max("pedestrian_traffic"), 4).alias("max_pedestrian_traffic"),
+            dround(F.avg("transit_score"), 4).alias("avg_transit_score"),
+            dround(F.sum("foot_traffic"), 4).alias("foot_traffic_sum"),
+        )
+    )
+
+
+def traffic_ring_oracle_sql(k: int = 1) -> str:
+    w = hex_sql.sites_sql()
+    g = hex_sql.grid_sql()
+    ring = rings.ring_pairs_oracle_sql("SELECT site_id, q, r FROM sites", k)
+    return f"""
+WITH sites AS ({w}), hex_grid AS ({g}), ring AS ({ring})
+SELECT site_id,
+       (FLOOR((MAX(pedestrian_traffic)) * 10000.0 + 0.5) / 10000.0) AS max_pedestrian_traffic,
+       (FLOOR((AVG(transit_score)) * 10000.0 + 0.5) / 10000.0) AS avg_transit_score,
+       (FLOOR((SUM(foot_traffic)) * 10000.0 + 0.5) / 10000.0) AS foot_traffic_sum
+FROM ring JOIN hex_grid ON ring.neighbor_h3 = hex_grid.cell_id
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Family 3: in-ring competition counts (J2 left join + A6/A7)
+# ---------------------------------------------------------------------------
+
+def competition_ring(spark: SparkSession, k: int = 1) -> DataFrame:
+    """Competitor counts within the k-ring — left join because hexes may
+    hold no competitor (`notebooks/10_feature_engineering.py:209-229`);
+    conditional distinct counts (A7) for per-category columns."""
+    sites = spark.table("sites")
+    comp = spark.table("competitors").select(
+        F.col("h3_res8").alias("c_cell"), "competitor_id", "category"
+    )
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(comp, pairs.neighbor_h3 == comp.c_cell, "left")
+    return (
+        joined.groupBy("site_id")
+        .agg(
+            F.countDistinct("competitor_id").alias("competitors_1ring"),
+            F.countDistinct(
+                F.when(F.col("category") == "QSR_Burger", F.col("competitor_id"))
+            ).alias("burger_competitors_1ring"),
+            F.countDistinct(
+                F.when(F.col("category") == "Coffee", F.col("competitor_id"))
+            ).alias("coffee_competitors_1ring"),
+        )
+    )
+
+
+def competition_ring_oracle_sql(k: int = 1) -> str:
+    w = hex_sql.sites_sql()
+    c = hex_sql.competitors_sql()
+    ring = rings.ring_pairs_oracle_sql("SELECT site_id, q, r FROM sites", k)
+    return f"""
+WITH sites AS ({w}), competitors AS ({c}), ring AS ({ring})
+SELECT site_id,
+       COUNT(DISTINCT competitor_id) AS competitors_1ring,
+       COUNT(DISTINCT CASE WHEN category = 'QSR_Burger' THEN competitor_id END)
+           AS burger_competitors_1ring,
+       COUNT(DISTINCT CASE WHEN category = 'Coffee' THEN competitor_id END)
+           AS coffee_competitors_1ring
+FROM ring LEFT JOIN competitors ON ring.neighbor_h3 = competitors.h3_res8
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Family 4: distance features via metro-blocked join (J4 + A3 min)
+# ---------------------------------------------------------------------------
+
+def competition_distance(spark: SparkSession) -> DataFrame:
+    """Nearest-competitor distance + gravity intensity.
+
+    The blocked θ-join of `notebooks/10_feature_engineering.py:246-283`:
+    equi-join on the metro block key bounds the cross product; haversine is
+    a native column expression; aggregation folds ~|sites|×|competitors per
+    metro| pairs into one row per site.  At 100 TB the block key becomes a
+    coarse-cell prefix (operators/knn.py).
+    """
+    sites = spark.table("sites").select("site_id", "metro", "lat", "lon")
+    comp = spark.table("competitors").select(
+        F.col("metro").alias("c_metro"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        "competitor_id",
+    )
+    pairs = sites.join(F.broadcast(comp), sites.metro == comp.c_metro, "inner")
+    d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
+    pairs = pairs.withColumn("dist_miles", d)
+    in_radius = F.col("dist_miles") <= MILES
+    return (
+        pairs.groupBy("site_id")
+        .agg(
+            dround(F.min("dist_miles"), 4).alias("nearest_competitor_miles"),
+            dround(
+                F.sum(
+                    F.when(
+                        in_radius,
+                        1.0 / (F.col("dist_miles") * F.col("dist_miles") + F.lit(GRAVITY_EPS)),
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("competitive_intensity"),
+            F.countDistinct(F.when(in_radius, F.col("competitor_id"))).alias(
+                "competitors_3mi"
+            ),
+        )
+    )
+
+
+def competition_distance_oracle_sql() -> str:
+    w = hex_sql.sites_sql()
+    c = hex_sql.competitors_sql()
+    hav = hex_sql.haversine_miles_sql("s.lat", "s.lon", "c.lat", "c.lon")
+    return f"""
+WITH sites AS ({w}), competitors AS ({c}),
+pairs AS (
+  SELECT s.site_id, {hav} AS dist_miles, c.competitor_id
+  FROM sites s JOIN competitors c ON s.metro = c.metro
+)
+SELECT site_id,
+       (FLOOR((MIN(dist_miles)) * 10000.0 + 0.5) / 10000.0) AS nearest_competitor_miles,
+       (FLOOR((SUM(CASE WHEN dist_miles <= {MILES}
+                      THEN 1.0 / (dist_miles * dist_miles + {GRAVITY_EPS})
+                      ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS competitive_intensity,
+       COUNT(DISTINCT CASE WHEN dist_miles <= {MILES} THEN competitor_id END)
+           AS competitors_3mi
+FROM pairs
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Family 5: POI features (J2 + A7 conditional distinct)
+# ---------------------------------------------------------------------------
+
+def poi_ring(spark: SparkSession, k: int = 1) -> DataFrame:
+    """Anchor/total POI counts in the ring
+    (`notebooks/10_feature_engineering.py:292-324`)."""
+    sites = spark.table("sites")
+    poi = spark.table("poi").select(F.col("h3_res8").alias("p_cell"), "poi_id", "size_class")
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
+    return (
+        joined.groupBy("site_id")
+        .agg(
+            F.countDistinct("poi_id").alias("poi_1ring"),
+            F.countDistinct(
+                F.when(F.col("size_class") == "anchor", F.col("poi_id"))
+            ).alias("anchor_poi_1ring"),
+        )
+    )
+
+
+def poi_ring_oracle_sql(k: int = 1) -> str:
+    w = hex_sql.sites_sql()
+    p = hex_sql.poi_sql()
+    ring = rings.ring_pairs_oracle_sql("SELECT site_id, q, r FROM sites", k)
+    return f"""
+WITH sites AS ({w}), poi AS ({p}), ring AS ({ring})
+SELECT site_id,
+       COUNT(DISTINCT poi_id) AS poi_1ring,
+       COUNT(DISTINCT CASE WHEN size_class = 'anchor' THEN poi_id END) AS anchor_poi_1ring
+FROM ring LEFT JOIN poi ON ring.neighbor_h3 = poi.h3_res8
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Family 6: cannibalization vs own stores (J6 theta join, self-exclusion)
+# ---------------------------------------------------------------------------
+
+def cannibalization(spark: SparkSession) -> DataFrame:
+    """Gravity-weighted own-store pressure within 3 miles, excluding self
+    (`notebooks/10_feature_engineering.py:379-406`)."""
+    sites = spark.table("sites").select("site_id", "metro", "lat", "lon")
+    stores = (
+        spark.table("sites")
+        .filter(F.col("site_type") == "store")
+        .select(
+            F.col("site_id").alias("store_id"),
+            F.col("metro").alias("s_metro"),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+        )
+    )
+    pairs = sites.join(F.broadcast(stores), sites.metro == stores.s_metro, "inner").filter(
+        F.col("site_id") != F.col("store_id")
+    )
+    d = haversine_col(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))
+    pairs = pairs.withColumn("dist_miles", d)
+    return (
+        pairs.groupBy("site_id")
+        .agg(
+            dround(
+                F.sum(
+                    F.when(
+                        F.col("dist_miles") <= MILES,
+                        1.0 / (F.col("dist_miles") * F.col("dist_miles") + F.lit(GRAVITY_EPS)),
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("cannibalization_risk"),
+            dround(F.min("dist_miles"), 4).alias("nearest_own_store_miles"),
+        )
+    )
+
+
+def cannibalization_oracle_sql() -> str:
+    w = hex_sql.sites_sql()
+    hav = hex_sql.haversine_miles_sql("s.lat", "s.lon", "t.lat", "t.lon")
+    return f"""
+WITH sites AS ({w}),
+pairs AS (
+  SELECT s.site_id, {hav} AS dist_miles
+  FROM sites s JOIN sites t
+    ON s.metro = t.metro AND t.site_type = 'store' AND s.site_id <> t.site_id
+)
+SELECT site_id,
+       (FLOOR((SUM(CASE WHEN dist_miles <= {MILES}
+                      THEN 1.0 / (dist_miles * dist_miles + {GRAVITY_EPS})
+                      ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS cannibalization_risk,
+       (FLOOR((MIN(dist_miles)) * 10000.0 + 0.5) / 10000.0) AS nearest_own_store_miles
+FROM pairs
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Assembly (J9 chained left joins + null-fill contract)
+# ---------------------------------------------------------------------------
+
+FILL_ZERO = [
+    "competitors_1ring",
+    "burger_competitors_1ring",
+    "coffee_competitors_1ring",
+    "competitive_intensity",
+    "competitors_3mi",
+    "poi_1ring",
+    "anchor_poi_1ring",
+    "cannibalization_risk",
+    "population_1ring",
+    "foot_traffic_sum",
+]
+
+
+def location_features(spark: SparkSession) -> DataFrame:
+    """gold.location_features: all families left-joined onto the site base,
+    numeric features null-filled (`notebooks/10_feature_engineering.py:
+    759-803`), plus the derived trade_area_quality / market_saturation
+    columns (L791-803)."""
+    base = spark.table("sites").select(
+        "site_id", "metro", "site_type", "drive_thru", "h3_res8"
+    )
+    out = (
+        base.join(demographics_ring(spark, 1), "site_id", "left")
+        .join(traffic_ring(spark, 1), "site_id", "left")
+        .join(competition_ring(spark, 1), "site_id", "left")
+        .join(competition_distance(spark), "site_id", "left")
+        .join(poi_ring(spark, 1), "site_id", "left")
+        .join(cannibalization(spark), "site_id", "left")
+    )
+    for c in FILL_ZERO:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    out = out.withColumn(
+        "trade_area_quality",
+        dround(
+            F.coalesce(F.col("population_1ring"), F.lit(0.0)) / 1000.0
+            + F.coalesce(F.col("target_demo_pct_1ring"), F.lit(0.0)) * 10.0
+            + F.coalesce(F.col("anchor_poi_1ring"), F.lit(0.0)),
+            4,
+        ),
+    ).withColumn(
+        "market_saturation",
+        dround(
+            F.col("competitive_intensity")
+            / (F.coalesce(F.col("population_1ring"), F.lit(0.0)) / 1000.0 + 1.0),
+            4,
+        ),
+    )
+    return out
+
+
+def location_features_oracle_sql() -> str:
+    fills = {
+        "competitors_1ring": "cr.competitors_1ring",
+        "burger_competitors_1ring": "cr.burger_competitors_1ring",
+        "coffee_competitors_1ring": "cr.coffee_competitors_1ring",
+        "competitive_intensity": "cd.competitive_intensity",
+        "competitors_3mi": "cd.competitors_3mi",
+        "poi_1ring": "p.poi_1ring",
+        "anchor_poi_1ring": "p.anchor_poi_1ring",
+        "cannibalization_risk": "cb.cannibalization_risk",
+        "population_1ring": "d.population_1ring",
+        "foot_traffic_sum": "t.foot_traffic_sum",
+    }
+    fill_cols = ",\n       ".join(
+        f"COALESCE({src}, 0.0) AS {name}" for name, src in fills.items()
+    )
+    return f"""
+WITH demo AS ({demographics_ring_oracle_sql(1)}),
+traffic AS ({traffic_ring_oracle_sql(1)}),
+compring AS ({competition_ring_oracle_sql(1)}),
+compdist AS ({competition_distance_oracle_sql()}),
+poif AS ({poi_ring_oracle_sql(1)}),
+cannib AS ({cannibalization_oracle_sql()}),
+base AS (SELECT site_id, metro, site_type, drive_thru, h3_res8
+         FROM ({hex_sql.sites_sql()}) __sites)
+SELECT b.site_id, b.metro, b.site_type, b.drive_thru, b.h3_res8,
+       d.median_income_1ring, d.target_demo_pct_1ring, d.college_pct_1ring, d.n_cells,
+       t.max_pedestrian_traffic, t.avg_transit_score,
+       cd.nearest_competitor_miles,
+       cb.nearest_own_store_miles,
+       {fill_cols},
+       (FLOOR((COALESCE(d.population_1ring, 0.0) / 1000.0
+             + COALESCE(d.target_demo_pct_1ring, 0.0) * 10.0
+             + COALESCE(p.anchor_poi_1ring, 0.0)) * 10000.0 + 0.5) / 10000.0) AS trade_area_quality,
+       (FLOOR((COALESCE(cd.competitive_intensity, 0.0)
+             / (COALESCE(d.population_1ring, 0.0) / 1000.0 + 1.0)) * 10000.0 + 0.5) / 10000.0)
+           AS market_saturation
+FROM base b
+LEFT JOIN demo d ON b.site_id = d.site_id
+LEFT JOIN traffic t ON b.site_id = t.site_id
+LEFT JOIN compring cr ON b.site_id = cr.site_id
+LEFT JOIN compdist cd ON b.site_id = cd.site_id
+LEFT JOIN poif p ON b.site_id = p.site_id
+LEFT JOIN cannib cb ON b.site_id = cb.site_id"""

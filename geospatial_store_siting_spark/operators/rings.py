@@ -1,0 +1,75 @@
+"""Distributed k-ring expansion.
+
+Replaces the reference's driver-side ``h3.grid_disk`` loop
+(``/root/reference/notebooks/10_feature_engineering.py:77-116`` — collect
+5,350 sites to the driver, expand in Python, createDataFrame back) with a
+fully distributed expansion: a 7/19/37-row offsets dimension is joined
+(Catalyst broadcasts a literal local relation for free) and the neighbor
+cell id is closed-form bigint arithmetic — so the expansion runs JVM-side
+inside whole-stage codegen, scales linearly with sites, and never touches
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import AXIS_OFFSET, AXIS_SHIFT, RES_CODE_SHIFT
+from ..functions import hex_sql
+
+
+def offsets_df(spark: SparkSession, k: int) -> DataFrame:
+    """The k-disk offsets as a tiny DataFrame (1+3k(k+1) rows)."""
+    return spark.createDataFrame(
+        [(int(dq), int(dr)) for dq, dr in hex_sql.ring_offsets(k)], "dq int, dr int"
+    )
+
+
+def neighbor_cell_col(q, r, res: int = 8):
+    """Neighbor cell id from axial coords + offsets — pure bigint arithmetic."""
+    return (
+        F.lit(res - 6).cast("long") * F.lit(RES_CODE_SHIFT)
+        + (q + F.lit(AXIS_OFFSET)).cast("long") * F.lit(AXIS_SHIFT)
+        + (r + F.lit(AXIS_OFFSET)).cast("long")
+    )
+
+
+def ring_pairs(
+    spark: SparkSession,
+    points: DataFrame,
+    k: int,
+    id_col: str = "site_id",
+    res: int = 8,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, neighbor_h3) pair table for the k-disk around each point.
+
+    ``points`` must carry axial coords ``q``/``r`` (from the encoder).
+    Output cardinality = |points| * (1+3k(k+1)) — 7/19/37 per site, matching
+    the reference's ring tables (`notebooks/10_feature_engineering.py:116`).
+    """
+    offs = offsets_df(spark, k)
+    cols = [id_col, *(extra_cols or [])]
+    return (
+        points.select(*cols, "q", "r")
+        .crossJoin(F.broadcast(offs))
+        .select(
+            *cols,
+            neighbor_cell_col(F.col("q") + F.col("dq"), F.col("r") + F.col("dr"), res).alias(
+                "neighbor_h3"
+            ),
+        )
+    )
+
+
+def ring_pairs_oracle_sql(src_sql: str, k: int, id_col: str = "site_id",
+                          extra_cols: list[str] | None = None, res: int = 8) -> str:
+    """Oracle-side equivalent of ``ring_pairs`` over a source subquery that
+    exposes (id_col, q, r)."""
+    cols = ", ".join([f"p.{c}" for c in [id_col, *(extra_cols or [])]])
+    neigh = hex_sql.cell_id_from_qr_sql("p.q + o.dq", "p.r + o.dr", res)
+    return (
+        f"SELECT {cols}, {neigh} AS neighbor_h3 "
+        f"FROM ({src_sql}) p CROSS JOIN {hex_sql.ring_offsets_values_sql(k)} o"
+    )

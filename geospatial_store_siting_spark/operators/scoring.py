@@ -1,0 +1,144 @@
+"""Candidate scoring: predicted sales → percentile rank → tier → top-N.
+
+Reference semantics: ``/root/reference/notebooks/13_score_candidates.py``
+L109-146 (model prediction), L168 (pandas ``rank(pct=True)`` → here
+``percent_rank()`` over an ordered window, W2 in SURVEY §2.5), L171-181
+(tier thresholds A≥.90 / B≥.70 / C≥.40 / D), L200 (top-5 per metro →
+``row_number`` window, W4).
+
+For the oracle-checked surface the "model" is a deterministic linear
+scorer over the engineered features (the GBT trainer in operators/ml.py is
+the non-SQL-expressible variant, checked rows-only).  Window choice at
+scale: the global percent_rank window is a single-partition sort — fine
+for ≤10^7 scored candidates (the real-world cardinality of scoring
+output); for larger, scoring.py exposes the per-metro variant which
+partitions the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dround
+from .features import location_features, location_features_oracle_sql
+
+# (name, weight) — deterministic linear scorer over engineered features
+SCORE_WEIGHTS = [
+    ("population_1ring", 50.0),
+    ("target_demo_pct_1ring", 400000.0),
+    ("anchor_poi_1ring", 20000.0),
+    ("max_pedestrian_traffic", 100.0),
+    ("competitive_intensity", -3000.0),
+    ("cannibalization_risk", -2000.0),
+    ("drive_thru", 75000.0),
+]
+SCORE_INTERCEPT = 500000.0
+
+
+def predicted_sales_col():
+    expr = F.lit(SCORE_INTERCEPT)
+    for name, w in SCORE_WEIGHTS:
+        expr = expr + F.coalesce(F.col(name), F.lit(0.0)) * F.lit(w)
+    return dround(expr, 4)
+
+
+def score_candidates(spark: SparkSession) -> DataFrame:
+    """gold.scored_locations: candidates only, percentile + tier."""
+    feats = location_features(spark).filter(F.col("site_type") == "candidate")
+    scored = feats.select(
+        "site_id", "metro", predicted_sales_col().alias("predicted_annual_sales")
+    )
+    w = Window.orderBy("predicted_annual_sales", "site_id")
+    scored = scored.withColumn(
+        "percentile", dround(F.percent_rank().over(w), 6)
+    )
+    tier = (
+        F.when(F.col("percentile") >= 0.90, "A")
+        .when(F.col("percentile") >= 0.70, "B")
+        .when(F.col("percentile") >= 0.40, "C")
+        .otherwise("D")
+    )
+    return scored.withColumn("tier", tier)
+
+
+def _scored_oracle_core() -> str:
+    feats = location_features_oracle_sql()
+    score = " + ".join(
+        [str(SCORE_INTERCEPT)]
+        + [f"COALESCE({name}, 0.0) * {repr(w)}" for name, w in SCORE_WEIGHTS]
+    )
+    return f"""
+WITH feats AS ({feats}),
+scored AS (
+  SELECT site_id, metro, (FLOOR(({score}) * 10000.0 + 0.5) / 10000.0) AS predicted_annual_sales
+  FROM feats WHERE site_type = 'candidate'
+)
+SELECT site_id, metro, predicted_annual_sales,
+       (FLOOR((PERCENT_RANK() OVER (ORDER BY predicted_annual_sales, site_id)) * 1000000.0 + 0.5) / 1000000.0)
+           AS percentile
+FROM scored"""
+
+
+def score_candidates_oracle_sql() -> str:
+    return f"""
+SELECT site_id, metro, predicted_annual_sales, percentile,
+       CASE WHEN percentile >= 0.90 THEN 'A'
+            WHEN percentile >= 0.70 THEN 'B'
+            WHEN percentile >= 0.40 THEN 'C'
+            ELSE 'D' END AS tier
+FROM ({_scored_oracle_core()}) __s"""
+
+
+def top_candidates_per_metro(spark: SparkSession, n: int = 5) -> DataFrame:
+    """Top-N candidates per metro (reference pandas ``nlargest(5)`` → W4
+    row_number window)."""
+    scored = score_candidates(spark)
+    w = Window.partitionBy("metro").orderBy(
+        F.desc("predicted_annual_sales"), F.asc("site_id")
+    )
+    return (
+        scored.withColumn("rank_in_metro", F.row_number().over(w))
+        .filter(F.col("rank_in_metro") <= n)
+        .select("metro", "site_id", "predicted_annual_sales", "rank_in_metro")
+    )
+
+
+def top_candidates_per_metro_oracle_sql(n: int = 5) -> str:
+    return f"""
+SELECT metro, site_id, predicted_annual_sales, rank_in_metro
+FROM (
+  SELECT metro, site_id, predicted_annual_sales,
+         ROW_NUMBER() OVER (PARTITION BY metro
+                            ORDER BY predicted_annual_sales DESC, site_id ASC)
+             AS rank_in_metro
+  FROM ({_scored_oracle_core()}) __s
+) __r
+WHERE rank_in_metro <= {n}"""
+
+
+def metro_summary(spark: SparkSession) -> DataFrame:
+    """Per-metro summary — the app's metro endpoint
+    (`app/main.py:224-236`): avg prediction, tier-A share (A8 conditional
+    sum), counts."""
+    scored = score_candidates(spark)
+    return (
+        scored.groupBy("metro")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            dround(F.avg("predicted_annual_sales"), 4).alias("avg_predicted_sales"),
+            F.count(F.when(F.col("tier") == "A", F.lit(1))).alias("tier_a_count"),
+            dround(F.max("predicted_annual_sales"), 4).alias("best_predicted_sales"),
+        )
+    )
+
+
+def metro_summary_oracle_sql() -> str:
+    return f"""
+SELECT metro,
+       COUNT(*) AS n_candidates,
+       (FLOOR((AVG(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0) AS avg_predicted_sales,
+       COUNT(CASE WHEN tier = 'A' THEN 1 END) AS tier_a_count,
+       (FLOOR((MAX(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0) AS best_predicted_sales
+FROM ({score_candidates_oracle_sql()}) __sc
+GROUP BY metro"""

@@ -1,0 +1,90 @@
+"""Catalog: base parquet tables + derived geospatial views.
+
+``register_tables`` loads the shared parquet tables of a scale-factor dir
+and registers them as temp views.  ``register_geo_views`` layers the
+deterministic geospatial world on top (sites / competitors / poi / hex
+grid) using the dialect-neutral SQL of functions/hex_sql.py — the same
+text a DuckDB oracle runs, so tile assignments agree bit-for-bit.
+
+Scale posture: base tables are parquet scans (columnar, predicate/column
+pushdown); derived views are pure projections over them, so Catalyst fuses
+the synthesis arithmetic into the scan stage — no extra shuffle, no
+materialization.  At 100 TB these views would be written once as
+bucketed-by-cell_id tables via snapshots.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hex_sql
+
+BASE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for name in BASE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+GEO_VIEWS = {
+    "sites": hex_sql.sites_sql,
+    "competitors": hex_sql.competitors_sql,
+    "poi": hex_sql.poi_sql,
+    "hex_grid": hex_sql.grid_sql,
+}
+
+
+def register_geo_views(spark: SparkSession, cache: bool = True) -> dict[str, DataFrame]:
+    """Create sites/competitors/poi/hex_grid temp views (requires base views).
+
+    The derived views are cached by default: they are dim-table-scale
+    (|customer| rows at most) yet feed 6+ feature families, so recomputing
+    the synthesis arithmetic per consumer would multiply scan work and blow
+    past whole-stage-codegen's 64KB method limit in wide assemblies.  At
+    100 TB these would instead be written once as bucketed snapshot tables.
+    """
+    out = {}
+    for name, sql_fn in GEO_VIEWS.items():
+        df = spark.sql(sql_fn())
+        if cache:
+            df = df.cache()
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tables = register_tables(spark, sf_dir)
+    tables.update(register_geo_views(spark))
+    return tables
+
+
+def oracle_cte(name: str) -> str:
+    """The DuckDB-side CTE body for a derived view, e.g. ``sites``."""
+    return GEO_VIEWS[name]()
+
+
+def oracle_with_clause(names: list[str]) -> str:
+    """``WITH sites AS (...), ...`` prefix for oracle SQL strings."""
+    parts = ", ".join(f"{n} AS ({GEO_VIEWS[n]()})" for n in names)
+    return f"WITH {parts}"
