@@ -14,8 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geospatial_store_siting_spark.operators import features, huff, scoring
-from geospatial_store_siting_spark.sources import tables
+from geospatial_store_siting_spark.operators import (
+    dedup,
+    events_ops,
+    features,
+    huff,
+    relational,
+    scoring,
+    similarity,
+    text_ops,
+)
+from geospatial_store_siting_spark.sources import documents, tables
 
 
 def _load(spark: SparkSession, sf_dir: str) -> None:
@@ -60,6 +69,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_candidates": _q(scoring.score_candidates),
         "top5_per_metro": _q(scoring.top_candidates_per_metro),
         "metro_summary": _q(scoring.metro_summary),
+        # --- interleaved documents: geotagged-span extraction (input_hint) ---
+        "geotagged_spans": _q(documents.geotagged_spans),
+        "doc_cells": _q(documents.doc_cells),
+        # --- text analysis ---
+        "text_stats": _q(text_ops.text_stats),
+        "lang_id": _q(text_ops.lang_id),
+        "quality_score": _q(text_ops.quality_score),
+        "doc_fingerprint": _q(text_ops.fingerprint),
+        # --- deduplication ---
+        "dedup_exact": _q(dedup.exact_dedup),
+        "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs),
+        "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs),
+        "dedup_simhash": _q(dedup.simhash),  # rows-only (bit ops not SQL-portable)
+        # --- similarity search (ANN) ---
+        "ann_brute_force_topk": _q(similarity.brute_force_topk),
+        "ann_lsh_topk": _q(similarity.ann_topk),
+        "embedding_label_centroids": _q(similarity.label_centroid_distances),
+        # --- events / time series (streaming twins) ---
+        "events_tumbling": _q(events_ops.tumbling_counts),
+        "events_sessionize": _q(events_ops.sessionize),
+        "events_funnel": _q(events_ops.event_type_funnel),
+        "events_json_props": _q(events_ops.json_props_extract),
+        # --- core relational coverage (joins/aggs/sets/windows) ---
+        "tpch_q1_pricing": _q(relational.pricing_summary),
+        "tpch_q3_top_orders": _q(relational.top_unshipped_orders),
+        "tpch_q5_regional": _q(relational.regional_revenue),
+        "anti_join_orphans": _q(relational.customers_without_orders),
+        "semi_join_big_spenders": _q(relational.big_spenders_semi),
+        "pivot_median_stddev": _q(relational.part_type_pivot),
+        "inlist_between_regex": _q(relational.order_priority_counts),
+        "union_distinct": _q(relational.supplier_part_union),
+        "rollup_revenue": _q(relational.rollup_revenue),
     }
 
 
@@ -77,4 +118,30 @@ def oracle_sql() -> dict[str, str]:
         "score_candidates": scoring.score_candidates_oracle_sql(),
         "top5_per_metro": scoring.top_candidates_per_metro_oracle_sql(),
         "metro_summary": scoring.metro_summary_oracle_sql(),
+        "geotagged_spans": documents.geotagged_spans_oracle_sql(),
+        "doc_cells": documents.doc_cells_oracle_sql(),
+        "text_stats": text_ops.text_stats_oracle_sql(),
+        "lang_id": text_ops.lang_id_oracle_sql(),
+        "quality_score": text_ops.quality_score_oracle_sql(),
+        "doc_fingerprint": text_ops.fingerprint_oracle_sql(),
+        "dedup_exact": dedup.exact_dedup_oracle_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle_sql(),
+        # dedup_simhash: intentionally no oracle (rows-only check)
+        "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
+        "ann_lsh_topk": similarity.ann_topk_oracle_sql(),
+        "embedding_label_centroids": similarity.label_centroid_distances_oracle_sql(),
+        "events_tumbling": events_ops.tumbling_counts_oracle_sql(),
+        "events_sessionize": events_ops.sessionize_oracle_sql(),
+        "events_funnel": events_ops.event_type_funnel_oracle_sql(),
+        "events_json_props": events_ops.json_props_extract_oracle_sql(),
+        "tpch_q1_pricing": relational.pricing_summary_oracle_sql(),
+        "tpch_q3_top_orders": relational.top_unshipped_orders_oracle_sql(),
+        "tpch_q5_regional": relational.regional_revenue_oracle_sql(),
+        "anti_join_orphans": relational.customers_without_orders_oracle_sql(),
+        "semi_join_big_spenders": relational.big_spenders_semi_oracle_sql(),
+        "pivot_median_stddev": relational.part_type_pivot_oracle_sql(),
+        "inlist_between_regex": relational.order_priority_counts_oracle_sql(),
+        "union_distinct": relational.supplier_part_union_oracle_sql(),
+        "rollup_revenue": relational.rollup_revenue_oracle_sql(),
     }

@@ -1,0 +1,85 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows": {...},
+   "rows_per_sec": {...}}
+
+The headline metric mirrors BASELINE.md §2: hex-feature-join +
+candidate-scoring throughput.  Each query is forced end-to-end with the
+noop sink (full computation, no write cost).  Run `python BENCH/scaling.py`
+for the local[8]-vs-local[32] scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geospatial_store_siting_spark.operators import features, huff, scoring  # noqa: E402
+from geospatial_store_siting_spark.session import get_spark  # noqa: E402
+from geospatial_store_siting_spark.sources import tables  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = {
+    "hex_feature_join": features.location_features,
+    "candidate_scoring": scoring.score_candidates,
+    "huff_features": huff.huff_features,
+    "demographics_ring2": lambda s: features.demographics_ring(s, 2),
+    "competition_distance": features.competition_distance,
+}
+
+
+def force(df) -> None:
+    """Force full evaluation of every column (noop sink).  A bare count()
+    would let Catalyst eliminate row-preserving left joins and column
+    work — that would benchmark a pruned plan, not the operator."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", cores=CPUS)
+    tables.load_all(spark, SF_DIR)
+    # warm the cached dim views once so per-query timings measure the
+    # operator, not the synthesis scan (same role as snapshot tables at scale)
+    spark.table("sites").count()
+    spark.table("hex_grid").count()
+    spark.table("competitors").count()
+    spark.table("poi").count()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in BENCH_QUERIES.items():
+        df = fn(spark)
+        t0 = time.perf_counter()
+        force(df)
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = df.count()  # untimed: row count for the rows/sec report
+    total = round(sum(times.values()), 3)
+    rps = {k: (round(rows[k] / times[k], 1) if times[k] > 0 else None) for k in times}
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "hex-feature-join + candidate-scoring wall seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows": rows,
+                "rows_per_sec": rps,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Event-stream operators over the ``events`` table.
+
+Batch-mode implementations of the streaming-shaped computations (tumbling
+windows, sessionization, funnel ordering); the same logic runs as a real
+Structured Streaming job in streaming/stream_jobs.py (memory-sink smoke
+tested) — batch and streaming share window semantics, so the oracle checks
+the batch twin.
+
+Portability notes: tumbling buckets are epoch-floor arithmetic (not
+engine-specific date_trunc variants); timestamps are compared as epoch
+seconds; session gaps via lag() + conditional cumsum (W-functions exist in
+both engines with identical semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dround
+
+WINDOW_SEC = 300  # 5-minute tumbling
+SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
+
+
+def tumbling_counts(spark: SparkSession) -> DataFrame:
+    """5-minute tumbling window counts/sums per event_type (the batch twin
+    of the streaming groupBy(window(ts, '5 minutes')))."""
+    ev = spark.table("events")
+    bucket = (F.unix_timestamp("ts") / WINDOW_SEC).cast("long") * WINDOW_SEC
+    return (
+        ev.groupBy(bucket.alias("window_start_epoch"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def tumbling_counts_oracle_sql() -> str:
+    return f"""
+SELECT CAST(FLOOR(EPOCH(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC} AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       (FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2"""
+
+
+def sessionize(spark: SparkSession) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-min gaps (lag + gap
+    flag + running sum — the classic W-function plan), aggregated to one
+    row per session."""
+    ev = spark.table("events").select(
+        "user_id", F.unix_timestamp("ts").alias("ets"), "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ets")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ets") - F.lag("ets").over(w)) > SESSION_GAP_SEC, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("user_id", "sess_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ets") - F.min("ets")).alias("duration_sec"),
+            dround(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def sessionize_oracle_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ets, event_type, value FROM events
+),
+flagged AS (
+  SELECT user_id, ets, value,
+         CASE WHEN ets - LAG(ets) OVER (PARTITION BY user_id ORDER BY ets) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ets, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ets
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+  FROM flagged
+)
+SELECT user_id, sess_idx,
+       COUNT(*) AS n_events,
+       MAX(ets) - MIN(ets) AS duration_sec,
+       (FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0) AS session_value
+FROM sess
+GROUP BY user_id, sess_idx"""
+
+
+def event_type_funnel(spark: SparkSession) -> DataFrame:
+    """Per-user first-occurrence ordering of event types (funnel step
+    detection): earliest signup→purchase conversion lag."""
+    ev = spark.table("events").select("user_id", "event_type", F.unix_timestamp("ts").alias("ets"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ets"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ets"))).alias("first_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return firsts.select(
+        "user_id",
+        "n_events",
+        (F.col("first_purchase") - F.col("first_signup")).alias("signup_to_purchase_sec"),
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        ).alias("converted"),
+    )
+
+
+def event_type_funnel_oracle_sql() -> str:
+    return """
+SELECT user_id, n_events,
+       first_purchase - first_signup AS signup_to_purchase_sec,
+       (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_signup) AS converted
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_purchase,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+) __f"""
+
+
+def json_props_extract(spark: SparkSession) -> DataFrame:
+    """JSON-in-string extraction (the reference's shap_top5 pattern,
+    `notebooks/13_score_candidates.py:133` / `app/main.py:204`):
+    get_json_object → typed column → aggregate."""
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def json_props_extract_oracle_sql() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type"""

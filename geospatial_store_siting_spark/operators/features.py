@@ -184,7 +184,11 @@ GROUP BY site_id"""
 # Family 4: distance features via metro-blocked join (J4 + A3 min)
 # ---------------------------------------------------------------------------
 
-def competition_distance(spark: SparkSession) -> DataFrame:
+def competition_distance(
+    spark: SparkSession,
+    sites_df: DataFrame | None = None,
+    competitors_df: DataFrame | None = None,
+) -> DataFrame:
     """Nearest-competitor distance + gravity intensity.
 
     The blocked θ-join of `notebooks/10_feature_engineering.py:246-283`:
@@ -193,8 +197,10 @@ def competition_distance(spark: SparkSession) -> DataFrame:
     metro| pairs into one row per site.  At 100 TB the block key becomes a
     coarse-cell prefix (operators/knn.py).
     """
-    sites = spark.table("sites").select("site_id", "metro", "lat", "lon")
-    comp = spark.table("competitors").select(
+    sites = (sites_df if sites_df is not None else spark.table("sites")).select(
+        "site_id", "metro", "lat", "lon"
+    )
+    comp = (competitors_df if competitors_df is not None else spark.table("competitors")).select(
         F.col("metro").alias("c_metro"),
         F.col("lat").alias("c_lat"),
         F.col("lon").alias("c_lon"),
@@ -284,12 +290,18 @@ GROUP BY site_id"""
 # Family 6: cannibalization vs own stores (J6 theta join, self-exclusion)
 # ---------------------------------------------------------------------------
 
-def cannibalization(spark: SparkSession) -> DataFrame:
+def cannibalization(
+    spark: SparkSession,
+    sites_df: DataFrame | None = None,
+    stores_df: DataFrame | None = None,
+) -> DataFrame:
     """Gravity-weighted own-store pressure within 3 miles, excluding self
     (`notebooks/10_feature_engineering.py:379-406`)."""
-    sites = spark.table("sites").select("site_id", "metro", "lat", "lon")
+    sites = (sites_df if sites_df is not None else spark.table("sites")).select(
+        "site_id", "metro", "lat", "lon"
+    )
     stores = (
-        spark.table("sites")
+        (stores_df if stores_df is not None else spark.table("sites"))
         .filter(F.col("site_type") == "store")
         .select(
             F.col("site_id").alias("store_id"),
@@ -357,17 +369,53 @@ FILL_ZERO = [
 ]
 
 
+def _demographics_traffic_ring(spark: SparkSession, k: int = 1) -> DataFrame:
+    """Demographics + traffic in ONE ring join/agg pass — both families
+    read the same (ring ⋈ grid) relation, so fusing them halves the
+    assembly's shuffle count (assembly-only optimization; the public
+    per-family operators stay separate for the query surface)."""
+    sites = spark.table("sites")
+    grid = spark.table("hex_grid")
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner")
+    pop = F.sum("population")
+    return (
+        joined.groupBy("site_id")
+        .agg(
+            pop.alias(f"population_{k}ring"),
+            dround(F.sum(F.col("median_income") * F.col("population")) / pop, 4).alias(
+                f"median_income_{k}ring"
+            ),
+            dround(F.sum(F.col("target_demo_pct") * F.col("population")) / pop, 6).alias(
+                f"target_demo_pct_{k}ring"
+            ),
+            dround(F.sum(F.col("college_pct") * F.col("population")) / pop, 6).alias(
+                f"college_pct_{k}ring"
+            ),
+            F.count(F.lit(1)).alias("n_cells"),
+            dround(F.max("pedestrian_traffic"), 4).alias("max_pedestrian_traffic"),
+            dround(F.avg("transit_score"), 4).alias("avg_transit_score"),
+            dround(F.sum("foot_traffic"), 4).alias("foot_traffic_sum"),
+        )
+    )
+
+
 def location_features(spark: SparkSession) -> DataFrame:
     """gold.location_features: all families left-joined onto the site base,
     numeric features null-filled (`notebooks/10_feature_engineering.py:
     759-803`), plus the derived trade_area_quality / market_saturation
-    columns (L791-803)."""
+    columns (L791-803).
+
+    Assembly plan: the base is repartitioned on site_id once; every family
+    aggregate is already hash-partitioned on site_id by its groupBy, so the
+    five left joins reuse that partitioning — one shuffle of the base, zero
+    re-shuffles of the families (scale-invariant: partition count follows
+    spark.sql.shuffle.partitions)."""
     base = spark.table("sites").select(
         "site_id", "metro", "site_type", "drive_thru", "h3_res8"
-    )
+    ).repartition("site_id")
     out = (
-        base.join(demographics_ring(spark, 1), "site_id", "left")
-        .join(traffic_ring(spark, 1), "site_id", "left")
+        base.join(_demographics_traffic_ring(spark, 1), "site_id", "left")
         .join(competition_ring(spark, 1), "site_id", "left")
         .join(competition_distance(spark), "site_id", "left")
         .join(poi_ring(spark, 1), "site_id", "left")

@@ -102,7 +102,10 @@ def huff_features(spark: SparkSession) -> DataFrame:
     j = trade.join(cells, trade.neighbor_h3 == cells.cell_id, "inner")
     d2 = _dist2_miles(F.col("lat"), F.col("lon"), F.col("centroid_lat"), F.col("centroid_lon"))
     j = j.withColumn("g_site", _gravity2(d2))
-    j = j.join(hex_denominators(spark), "cell_id", "left")
+    # denominators are |distinct cells| rows (grid-scale, not pair-scale):
+    # broadcast so the pair side never shuffles (pre-AQE stats would
+    # otherwise plan a SortMergeJoin exchanging the big side)
+    j = j.join(F.broadcast(hex_denominators(spark)), "cell_id", "left")
     share = F.col("g_site") / (
         F.coalesce(F.col("denom"), F.lit(0.0))
         + F.when(F.col("site_type") == "candidate", F.col("g_site")).otherwise(F.lit(0.0))

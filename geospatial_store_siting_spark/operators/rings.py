@@ -48,18 +48,25 @@ def ring_pairs(
     ``points`` must carry axial coords ``q``/``r`` (from the encoder).
     Output cardinality = |points| * (1+3k(k+1)) — 7/19/37 per site, matching
     the reference's ring tables (`notebooks/10_feature_engineering.py:116`).
+
+    Implementation: ``explode`` over a literal offsets array — stays inside
+    whole-stage codegen as a generator, no join at all (a crossJoin against
+    the offsets dimension would plan as BroadcastNestedLoopJoin and fall
+    out of codegen).
     """
-    offs = offsets_df(spark, k)
     cols = [id_col, *(extra_cols or [])]
-    return (
-        points.select(*cols, "q", "r")
-        .crossJoin(F.broadcast(offs))
-        .select(
-            *cols,
-            neighbor_cell_col(F.col("q") + F.col("dq"), F.col("r") + F.col("dr"), res).alias(
-                "neighbor_h3"
-            ),
-        )
+    offs_array = F.array(
+        *[
+            F.struct(F.lit(int(dq)).alias("dq"), F.lit(int(dr)).alias("dr"))
+            for dq, dr in hex_sql.ring_offsets(k)
+        ]
+    )
+    exploded = points.select(*cols, "q", "r", F.explode(offs_array).alias("o"))
+    return exploded.select(
+        *cols,
+        neighbor_cell_col(
+            F.col("q") + F.col("o.dq"), F.col("r") + F.col("o.dr"), res
+        ).alias("neighbor_h3"),
     )
 
 

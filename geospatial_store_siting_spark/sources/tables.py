@@ -54,28 +54,35 @@ GEO_VIEWS = {
 }
 
 
-def register_geo_views(spark: SparkSession, cache: bool = True) -> dict[str, DataFrame]:
+def register_geo_views(
+    spark: SparkSession, sf_dir: str | None = None, materialize: bool = True
+) -> dict[str, DataFrame]:
     """Create sites/competitors/poi/hex_grid temp views (requires base views).
 
-    The derived views are cached by default: they are dim-table-scale
-    (|customer| rows at most) yet feed 6+ feature families, so recomputing
-    the synthesis arithmetic per consumer would multiply scan work and blow
-    past whole-stage-codegen's 64KB method limit in wide assemblies.  At
-    100 TB these would instead be written once as bucketed snapshot tables.
+    By default the derived tables are materialized once via the snapshot
+    layer (sources/snapshots.py) and the views read the committed parquet:
+    they are dim-table-scale yet feed 6+ feature families, and inlining the
+    synthesis expression tree into every consumer plan costs seconds of
+    Catalyst planning + janino codegen per query (and at 100 TB would
+    re-scan the base tables per consumer).  ``materialize=False`` falls
+    back to cached logical views (used when sf_dir is unknown).
     """
+    from . import snapshots
+
     out = {}
     for name, sql_fn in GEO_VIEWS.items():
-        df = spark.sql(sql_fn())
-        if cache:
-            df = df.cache()
+        if materialize and sf_dir:
+            df = snapshots.snapshot_table(spark, name, sql_fn(), sf_dir)
+        else:
+            df = spark.sql(sql_fn()).cache()
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
 
 
-def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_all(spark: SparkSession, sf_dir: str, materialize: bool = True) -> dict[str, DataFrame]:
     tables = register_tables(spark, sf_dir)
-    tables.update(register_geo_views(spark))
+    tables.update(register_geo_views(spark, sf_dir, materialize=materialize))
     return tables
 
 
