@@ -19,12 +19,17 @@ from geospatial_store_siting_spark.operators import (
     events_ops,
     features,
     huff,
+    knn,
+    ml,
+    pip,
     relational,
     scoring,
     similarity,
+    skew,
     text_ops,
+    zonal,
 )
-from geospatial_store_siting_spark.sources import documents, tables
+from geospatial_store_siting_spark.sources import documents, multimodal, tables
 
 
 def _load(spark: SparkSession, sf_dir: str) -> None:
@@ -101,6 +106,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlist_between_regex": _q(relational.order_priority_counts),
         "union_distinct": _q(relational.supplier_part_union),
         "rollup_revenue": _q(relational.rollup_revenue),
+        # --- north-star geo operators: kNN / PIP / zonal / skew ---
+        "knn_competitors": _q(knn.knn_competitors),
+        "pip_convex_zones": _q(pip.pip_convex_join),
+        "pip_index_assignments": _q(
+            lambda s: pip.pip_join(s).select("site_id", "poly_id", "poly_zone")
+        ),
+        "zonal_stats": _q(zonal.zonal_stats),
+        "salted_span_counts": _q(skew.salted_span_counts),
+        # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
+        "huff_beta_calibration": _q(ml.calibrate_huff_beta),
+        "ml_predictions": _q(ml.model_predictions),
+        "media_feature_summary": _q(multimodal.media_feature_summary),
     }
 
 
@@ -144,4 +161,11 @@ def oracle_sql() -> dict[str, str]:
         "inlist_between_regex": relational.order_priority_counts_oracle_sql(),
         "union_distinct": relational.supplier_part_union_oracle_sql(),
         "rollup_revenue": relational.rollup_revenue_oracle_sql(),
+        "knn_competitors": knn.knn_competitors_oracle_sql(),
+        "pip_convex_zones": pip.pip_convex_join_oracle_sql(),
+        "pip_index_assignments": pip.pip_assignments_oracle_sql(),
+        "zonal_stats": zonal.zonal_stats_oracle_sql(),
+        "salted_span_counts": skew.salted_span_counts_oracle_sql(),
+        # huff_beta_calibration / ml_predictions / media_feature_summary:
+        # intentionally no oracle (iterative ML / binary kernels) — rows-only
     }

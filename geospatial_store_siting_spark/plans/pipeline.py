@@ -1,0 +1,131 @@
+"""The stage DAG: bronze synthesis → feature engineering → huff → scoring,
+with per-stage snapshot checkpoints, lineage, and rows/sec metrics.
+
+Mirrors the reference's job DAG (`resources/phase2_ml_pipeline.yml:10-80`:
+validate → features → train → score → summary) re-expressed as a
+checkpointed Spark pipeline per the north rule:
+
+- each stage writes an atomic parquet+manifest snapshot
+  (sources/snapshots.py) — a crashed run RESUMES: committed stages are
+  skipped (their manifests exist), only the remainder re-executes;
+- each stage manifest records lineage (input stage names + row counts)
+  and throughput (rows/sec, wall seconds) plus PER-PARTITION row counts
+  (spark_partition_id groupBy — the skew fingerprint);
+- the module is a spark-submit entry point:
+    spark-submit --py-files gss.zip -m geospatial_store_siting_spark.plans.pipeline
+  (or `python -m ... --sf-dir /root/testdata/sf0.01`).
+
+Run `python -m geospatial_store_siting_spark.plans.pipeline --help`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import snapshots, tables
+
+STAGE_ROOT = os.environ.get("SPARK_GRAFT_STAGE_DIR", "/root/repo/.snapshots/stages")
+
+
+def _partition_histogram(df: DataFrame) -> list[int]:
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    return [int(r["count"]) for r in sorted(rows, key=lambda r: r["__pid"])]
+
+
+class Stage:
+    def __init__(self, name: str, fn, inputs: list[str]):
+        self.name = name
+        self.fn = fn
+        self.inputs = inputs
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
+    """Execute the DAG with checkpoint/resume; returns the run report."""
+    from ..operators import features, huff, scoring
+
+    tables.load_all(spark, sf_dir)
+
+    stages = [
+        Stage("location_features", features.location_features, ["sites", "hex_grid", "competitors", "poi"]),
+        Stage("huff_features", huff.huff_features, ["sites", "hex_grid", "competitors"]),
+        Stage("scored_locations", scoring.score_candidates, ["location_features"]),
+    ]
+
+    report: dict = {"sf_dir": sf_dir, "stages": []}
+    for st in stages:
+        tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.name}"
+        out_dir = os.path.join(STAGE_ROOT, tag)
+        manifest_path = os.path.join(out_dir, "_manifest.json")
+        if os.path.exists(manifest_path) and not force:
+            with open(manifest_path) as f:
+                meta = json.load(f)
+            meta["resumed"] = True
+            spark.read.parquet(out_dir).createOrReplaceTempView(st.name)
+            report["stages"].append(meta)
+            continue
+
+        t0 = time.perf_counter()
+        df = st.fn(spark)
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(STAGE_ROOT, exist_ok=True)
+        if os.path.exists(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+        wall = time.perf_counter() - t0
+
+        committed = spark.read.parquet(out_dir)
+        parts = _partition_histogram(committed)
+        rows = sum(parts)
+        meta = {
+            "stage": st.name,
+            "lineage": {"inputs": st.inputs, "sf_dir": sf_dir},
+            "rows": rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "partitions": len(parts),
+            "partition_rows": parts,
+            "partition_skew": round(max(parts) / (sum(parts) / len(parts)), 3)
+            if parts and sum(parts)
+            else None,
+            "resumed": False,
+        }
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.rename(manifest_path + ".tmp", manifest_path)
+        committed.createOrReplaceTempView(st.name)
+        report["stages"].append(meta)
+
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="run the siting feature pipeline")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    ap.add_argument("--force", action="store_true", help="recompute committed stages")
+    args = ap.parse_args()
+
+    from ..session import get_spark
+
+    spark = get_spark(app_name="gss-pipeline", cores=args.cores)
+    report = run_pipeline(spark, args.sf_dir, force=args.force)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

