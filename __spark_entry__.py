@@ -15,13 +15,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from geospatial_store_siting_spark.operators import (
+    app_queries,
     dedup,
+    encode,
     events_ops,
     features,
     huff,
     knn,
     ml,
     pip,
+    quality,
     relational,
     scoring,
     similarity,
@@ -41,6 +44,36 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables.load_all(spark, sf_dir)
+
+
+def _quality_gate_df(spark: SparkSession) -> DataFrame:
+    """Quality-gate report flattened to rows (rows-only check: the gate is
+    a multi-output report, not a relational result)."""
+    report = quality.run_gate(spark, raise_on_fail=False)
+    rows = [
+        (r["table"], "schema", bool(r["passes"]), "")
+        for r in report["schema"]
+    ] + [
+        (r["table"], "quality", bool(r["passes"]), ";".join(r["failures"]))
+        for r in report["quality"]
+    ]
+    rows.append(("__cross__", "fk", report["fk"]["orphans"] == 0, ""))
+    rows.append(("__cross__", "gate", bool(report["passes"]), ""))
+    return spark.createDataFrame(
+        rows, "table string, check string, passes boolean, detail string"
+    )
+
+
+def _flagged_sites_demo(spark: SparkSession) -> DataFrame:
+    """Write-back sink surface: append flag events to a fresh scratch log,
+    read back latest-wins (deterministic content, fresh dir per call)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="flagged_") + "/log"
+    app_queries.flag_site(spark, path, 42, "shortlisted", "good corner", seq=1)
+    app_queries.flag_site(spark, path, 42, "rejected", "lease fell through", seq=2)
+    app_queries.flag_site(spark, path, 77, "shortlisted", "", seq=1)
+    return app_queries.flagged_sites(spark, path)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -118,6 +151,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huff_beta_calibration": _q(ml.calibrate_huff_beta),
         "ml_predictions": _q(ml.model_predictions),
         "media_feature_summary": _q(multimodal.media_feature_summary),
+        # --- imputation / encoding / windows (J14, M1, W1) ---
+        "median_imputation": _q(encode.median_imputation),
+        "one_hot_metro": _q(encode.one_hot_metro),
+        "percentile_by_metro": _q(encode.percentile_by_metro),
+        "feature_summary": _q(encode.feature_summary),
+        # --- interactive app query surface (app/main.py semantics) ---
+        "app_scored_filtered": _q(
+            lambda s: app_queries.scored_locations(s, metro="Chicago", tier=None, limit=200)
+        ),
+        "app_heatmap": _q(
+            lambda s: app_queries.competition_heatmap(s, 41.5, 42.3, -88.0, -87.2)
+        ),
+        "app_similar_locations": _q(lambda s: app_queries.similar_locations(s, 42)),
+        "app_daypart_trade_area": _q(lambda s: app_queries.daypart_trade_area(s, 42)),
+        "quality_gate": _q(_quality_gate_df),  # rows-only (report surface)
+        "flagged_sites_latest": _q(_flagged_sites_demo),  # rows-only (write path)
     }
 
 
@@ -168,4 +217,13 @@ def oracle_sql() -> dict[str, str]:
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         # huff_beta_calibration / ml_predictions / media_feature_summary:
         # intentionally no oracle (iterative ML / binary kernels) — rows-only
+        "median_imputation": encode.median_imputation_oracle_sql(),
+        "one_hot_metro": encode.one_hot_metro_oracle_sql(),
+        "percentile_by_metro": encode.percentile_by_metro_oracle_sql(),
+        "feature_summary": encode.feature_summary_oracle_sql(),
+        "app_scored_filtered": app_queries.scored_locations_oracle_sql("Chicago", 200),
+        "app_heatmap": app_queries.competition_heatmap_oracle_sql(41.5, 42.3, -88.0, -87.2),
+        "app_similar_locations": app_queries.similar_locations_oracle_sql(42),
+        "app_daypart_trade_area": app_queries.daypart_trade_area_oracle_sql(42),
+        # quality_gate / flagged_sites_latest: report / write-path surfaces — rows-only
     }

@@ -43,9 +43,13 @@ def predicted_sales_col():
     return dround(expr, 4)
 
 
-def score_candidates(spark: SparkSession) -> DataFrame:
-    """gold.scored_locations: candidates only, percentile + tier."""
-    feats = location_features(spark).filter(F.col("site_type") == "candidate")
+def score_candidates(spark: SparkSession, features_df: DataFrame | None = None) -> DataFrame:
+    """gold.scored_locations: candidates only, percentile + tier.
+
+    ``features_df`` lets the pipeline feed the CHECKPOINTED feature
+    snapshot instead of recomputing the feature plan (plans/pipeline.py)."""
+    base = features_df if features_df is not None else location_features(spark)
+    feats = base.filter(F.col("site_type") == "candidate")
     scored = feats.select(
         "site_id", "metro", predicted_sales_col().alias("predicted_annual_sales")
     )

@@ -59,7 +59,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     stages = [
         Stage("location_features", features.location_features, ["sites", "hex_grid", "competitors", "poi"]),
         Stage("huff_features", huff.huff_features, ["sites", "hex_grid", "competitors"]),
-        Stage("scored_locations", scoring.score_candidates, ["location_features"]),
+        # consumes the COMMITTED feature snapshot (registered as a view by
+        # the previous stage) — resuming after a crash re-reads parquet,
+        # never recomputes upstream
+        Stage(
+            "scored_locations",
+            lambda sp: scoring.score_candidates(sp, features_df=sp.table("location_features")),
+            ["location_features"],
+        ),
     ]
 
     report: dict = {"sf_dir": sf_dir, "stages": []}

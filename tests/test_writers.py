@@ -1,0 +1,37 @@
+"""Write-side operator tests: partition pruning, CSV round-trip, NaN guard."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from geospatial_store_siting_spark.sources import writers
+
+
+def test_partitioned_write_prunes(geo):
+    path = tempfile.mkdtemp(prefix="part_") + "/sites"
+    sites = geo.table("sites").select("site_id", "metro", "lat", "lon")
+    writers.write_partitioned(sites, path, ["metro"])
+    pruned = writers.read_partition_pruned(geo, path, "Chicago")
+    assert pruned.count() == sites.filter(F.col("metro") == "Chicago").count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(metro" in plan  # pruning reached the scan
+
+
+def test_csv_roundtrip_schema_stable(geo):
+    path = tempfile.mkdtemp(prefix="csv_") + "/out"
+    df = geo.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    back = writers.csv_roundtrip(geo, df, path)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    assert back.agg(F.sum("c_custkey")).first()[0] == df.agg(F.sum("c_custkey")).first()[0]
+
+
+def test_clean_numeric_handles_nan_and_null(geo):
+    df = geo.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 5.0)], "id int, v double"
+    )
+    out = writers.clean_numeric(df, ["v"])
+    vals = {r["id"]: r["v"] for r in out.collect()}
+    assert vals == {1: 0.0, 2: 0.0, 3: 5.0}
