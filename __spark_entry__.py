@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs),
         "dedup_simhash": _q(dedup.simhash),  # rows-only (bit ops not SQL-portable)
+        "dedup_embedding_cosine": _q(dedup.embedding_near_dup),
         # --- similarity search (ANN) ---
         "ann_brute_force_topk": _q(similarity.brute_force_topk),
         "ann_lsh_topk": _q(similarity.ann_topk),
@@ -139,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlist_between_regex": _q(relational.order_priority_counts),
         "union_distinct": _q(relational.supplier_part_union),
         "rollup_revenue": _q(relational.rollup_revenue),
+        "cube_revenue": _q(relational.cube_revenue),
+        "events_running_totals": _q(events_ops.running_totals),
         # --- north-star geo operators: kNN / PIP / zonal / skew ---
         "knn_competitors": _q(knn.knn_competitors),
         "pip_convex_zones": _q(pip.pip_convex_join),
@@ -210,6 +213,9 @@ def oracle_sql() -> dict[str, str]:
         "inlist_between_regex": relational.order_priority_counts_oracle_sql(),
         "union_distinct": relational.supplier_part_union_oracle_sql(),
         "rollup_revenue": relational.rollup_revenue_oracle_sql(),
+        "cube_revenue": relational.cube_revenue_oracle_sql(),
+        "events_running_totals": events_ops.running_totals_oracle_sql(),
+        "dedup_embedding_cosine": dedup.embedding_near_dup_oracle_sql(),
         "knn_competitors": knn.knn_competitors_oracle_sql(),
         "pip_convex_zones": pip.pip_convex_join_oracle_sql(),
         "pip_index_assignments": pip.pip_assignments_oracle_sql(),

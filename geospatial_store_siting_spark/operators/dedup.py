@@ -285,3 +285,32 @@ def simhash(spark: SparkSession, bits: int = 64) -> DataFrame:
 
     docs = spark.table("documents")
     return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def embedding_near_dup(spark: SparkSession, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space dedup pass
+    of a training pipeline): all (lo, hi) pairs above the cosine
+    threshold.  Brute force here (corpus-sized); the LSH-bucketed variant
+    in operators/similarity.py is the scale path."""
+    from .similarity import _dot_cols, _norm_col
+
+    emb = spark.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    cos = _dot_cols("ea", "eb") / (_norm_col("ea") * _norm_col("eb"))
+    return (
+        pairs.select("a", "b", dround(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_oracle_sql(threshold: float = 0.35) -> str:
+    from .similarity import _dot_sql, _norm_sql
+
+    cos = f"({_dot_sql('x.embedding', 'y.embedding')}) / ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')})"
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) >= {threshold}"""

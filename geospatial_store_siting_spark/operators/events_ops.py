@@ -161,3 +161,33 @@ SELECT event_type,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type"""
+
+
+def running_totals(spark: SparkSession) -> DataFrame:
+    """Per-user running event totals — an explicit rowsBetween frame
+    (unbounded-preceding cumulative sum ordered by event time)."""
+    ev = spark.table("events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ets"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        dround(F.sum("value").over(w), 4).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+def running_totals_oracle_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       (FLOOR((SUM(value) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0)
+           AS running_value,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM events"""
