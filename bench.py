@@ -27,12 +27,35 @@ from geospatial_store_siting_spark.sources import tables  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+def _knn(s):
+    from geospatial_store_siting_spark.operators import knn
+
+    return knn.knn_competitors(s)
+
+
+def _spans(s):
+    from geospatial_store_siting_spark.sources import documents
+
+    return documents.doc_cells(s)
+
+
+def _minhash(s):
+    from geospatial_store_siting_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(s)
+
+
 BENCH_QUERIES = {
+    # headline metric (BASELINE.md §2): hex-feature-join + candidate scoring
     "hex_feature_join": features.location_features,
     "candidate_scoring": scoring.score_candidates,
+    # supporting operator families
     "huff_features": huff.huff_features,
     "demographics_ring2": lambda s: features.demographics_ring(s, 2),
     "competition_distance": features.competition_distance,
+    "knn_competitors": _knn,
+    "doc_span_cells": _spans,
+    "dedup_minhash_lsh": _minhash,
 }
 
 
@@ -52,6 +75,10 @@ def main() -> None:
     spark.table("hex_grid").count()
     spark.table("competitors").count()
     spark.table("poi").count()
+
+    # one untimed warm-up of the heaviest plan: JIT + janino codegen compile
+    # otherwise land entirely on the first timed query
+    force(BENCH_QUERIES["hex_feature_join"](spark))
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
