@@ -53,10 +53,13 @@ def score_candidates(spark: SparkSession, features_df: DataFrame | None = None) 
     scored = feats.select(
         "site_id", "metro", predicted_sales_col().alias("predicted_annual_sales")
     )
-    w = Window.orderBy("predicted_annual_sales", "site_id")
-    scored = scored.withColumn(
-        "percentile", dround(F.percent_rank().over(w), 6)
-    )
+    # distributed two-pass global rank (operators/ranks.py) — a plain
+    # Window.orderBy here would single-partition every scored candidate
+    from .ranks import with_percent_rank
+
+    scored = with_percent_rank(
+        scored, ["predicted_annual_sales", "site_id"], out_col="__pr"
+    ).withColumn("percentile", dround(F.col("__pr"), 6)).drop("__pr")
     tier = (
         F.when(F.col("percentile") >= 0.90, "A")
         .when(F.col("percentile") >= 0.70, "B")

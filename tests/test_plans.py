@@ -1,0 +1,54 @@
+"""Physical-plan assertions: the properties the engine promises at scale
+must be visible in the executed plans, not just intended."""
+
+from __future__ import annotations
+
+import re
+
+from geospatial_store_siting_spark.operators import features, knn, scoring
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distance_join_broadcasts_dims(geo):
+    plan = _plan(features.competition_distance(geo))
+    assert "BroadcastHashJoin" in plan  # dims broadcast, no shuffle of probe
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ring_expansion_is_generator_not_join(geo):
+    plan = _plan(features.demographics_ring(geo, 1))
+    assert "Generate explode" in plan  # ring offsets explode in-line
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_in_hot_paths(geo):
+    """The feature pipeline must be pure JVM (no Python eval nodes)."""
+    for df in (
+        features.location_features(geo),
+        knn.knn_competitors(geo),
+        scoring.score_candidates(geo),
+    ):
+        plan = _plan(df)
+        assert not re.search(r"BatchEvalPython|ArrowEvalPython", plan)
+
+
+def test_scoring_has_no_global_single_partition_window(geo):
+    """percent_rank is the distributed two-pass rank, not WindowExec over
+    a global (empty-partition-spec) ordering."""
+    plan = _plan(scoring.score_candidates(geo))
+    # Window over __pid partitions is fine; a global window shows as
+    # 'Window [...], [ordercols ASC...]' with no PartitionBy — detect via
+    # the telltale single-partition exchange Spark inserts for it
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_parquet_filter_pushdown_reaches_scan(geo):
+    from pyspark.sql import functions as F
+
+    df = geo.table("lineitem").filter(F.col("l_orderkey") == 42).select("l_quantity")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_orderkey,42\)", plan)
+    assert re.search(r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>", plan)
