@@ -170,7 +170,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "app_daypart_trade_area": _q(lambda s: app_queries.daypart_trade_area(s, 42)),
         "quality_gate": _q(_quality_gate_df),  # rows-only (report surface)
         "flagged_sites_latest": _q(_flagged_sites_demo),  # rows-only (write path)
+        # --- grouped-map + multimodal kernels (Arrow; rows-only) ---
+        "metro_outlier_scores": _q(_grouped_outliers),
+        "media_resize": _q(_media_resize),
+        "media_frame_sample": _q(_media_frames),
     }
+
+
+def _grouped_outliers(spark: SparkSession) -> DataFrame:
+    from geospatial_store_siting_spark.operators import grouped
+
+    return grouped.metro_outlier_scores(spark)
+
+
+def _media_resize(spark: SparkSession) -> DataFrame:
+    return multimodal.resize_images(spark).select(
+        "doc_id", "span_offset", "out_w", "out_h"
+    )
+
+
+def _media_frames(spark: SparkSession) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    return multimodal.sample_frames(spark).select(
+        "doc_id", "span_offset", "frame_idx", F.length("frame_bytes").alias("n_bytes")
+    )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -95,6 +95,66 @@ def decode_features(spark: SparkSession, media: DataFrame | None = None) -> Data
     return src.mapInPandas(kernel, schema=out_schema)
 
 
+def resize_images(spark: SparkSession, media: DataFrame | None = None,
+                  width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize kernel (stub-gated): real path = PIL resize; fake path
+    reshapes blob bytes into a (h, w) grid deterministically.  Schema and
+    Arrow batch shape are the real contract."""
+    src = media if media is not None else media_table(spark)
+    src = src.filter(F.col("media_kind") == "image")
+    base_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+    out_schema = base_schema + ", pixels array<array<double>>, out_w int, out_h int"
+
+    def kernel(batches):
+        for pdf in batches:
+            px, ws, hs = [], [], []
+            for blob in pdf["blob"]:
+                if HAVE_MEDIA_LIBS:
+                    raise NotImplementedError(
+                        "real path: PIL.Image.open → .resize((width, height)) → grayscale grid"
+                    )
+                b = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                grid = np.resize(b, (height, width)) / 255.0
+                px.append([list(row) for row in grid])
+                ws.append(width)
+                hs.append(height)
+            pdf = pdf.copy()
+            pdf["pixels"], pdf["out_w"], pdf["out_h"] = px, ws, hs
+            yield pdf
+
+    return src.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_frames(spark: SparkSession, media: DataFrame | None = None,
+                  n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video/audio media (stub-gated): real path decodes
+    the container and samples evenly-spaced frames; fake path slices the
+    blob into n deterministic 'frames' (one output row per frame — the
+    explode shape a video pipeline produces)."""
+    src = media if media is not None else media_table(spark)
+    src = src.filter(F.col("media_kind") == "audio")
+    out_schema = "doc_id bigint, span_offset int, frame_idx int, frame_bytes binary"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "span_offset": [], "frame_idx": [], "frame_bytes": []}
+            for doc, off, blob in zip(pdf["doc_id"], pdf["span_offset"], pdf["blob"]):
+                if HAVE_MEDIA_LIBS:
+                    raise NotImplementedError(
+                        "real path: av.open(BytesIO(blob)) → sample n evenly-spaced frames"
+                    )
+                b = bytes(blob)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    rows["doc_id"].append(doc)
+                    rows["span_offset"].append(off)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(kernel, schema=out_schema)
+
+
 def media_feature_summary(spark: SparkSession) -> DataFrame:
     """Rows-only query surface: decoded-feature aggregate per media kind
     (exercises the full binary → Arrow kernel → feature path)."""
