@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_metro": _q(encode.one_hot_metro),
         "percentile_by_metro": _q(encode.percentile_by_metro),
         "feature_summary": _q(encode.feature_summary),
+        "hex_string_ids": _q(encode.hex_string_ids),
         # --- interactive app query surface (app/main.py semantics) ---
         "app_scored_filtered": _q(
             lambda s: app_queries.scored_locations(s, metro="Chicago", tier=None, limit=200)
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "one_hot_metro": encode.one_hot_metro_oracle_sql(),
         "percentile_by_metro": encode.percentile_by_metro_oracle_sql(),
         "feature_summary": encode.feature_summary_oracle_sql(),
+        "hex_string_ids": encode.hex_string_ids_oracle_sql(),
         "app_scored_filtered": app_queries.scored_locations_oracle_sql("Chicago", 200),
         "app_heatmap": app_queries.competition_heatmap_oracle_sql(41.5, 42.3, -88.0, -87.2),
         "app_similar_locations": app_queries.similar_locations_oracle_sql(42),

@@ -147,3 +147,26 @@ def feature_summary_oracle_sql() -> str:
     return f"""
 SELECT {sel}
 FROM ({location_features_oracle_sql()}) __f"""
+
+
+def hex_string_ids(spark: SparkSession) -> DataFrame:
+    """Canonical 15-hex-char string rendering of cell ids — the
+    reference's H3 string-id contract (validity regex ^[0-9a-f]{15}$,
+    `notebooks/00_quality_checks.py:91-98`).  String ids are the
+    interchange format; bigint ids are the join keys."""
+    sites = spark.table("sites")
+    hex_str = F.lower(F.lpad(F.hex(F.col("h3_res8")), 15, "0"))
+    return sites.select(
+        "site_id",
+        F.col("h3_res8").alias("cell_id"),
+        hex_str.alias("h3_str"),
+        hex_str.rlike("^[0-9a-f]{15}$").alias("valid"),
+    )
+
+
+def hex_string_ids_oracle_sql() -> str:
+    return f"""
+SELECT site_id, h3_res8 AS cell_id,
+       lpad(lower(to_hex(h3_res8)), 15, '0') AS h3_str,
+       regexp_matches(lpad(lower(to_hex(h3_res8)), 15, '0'), '^[0-9a-f]{{15}}$') AS valid
+FROM ({hex_sql.sites_sql()}) __sites"""
