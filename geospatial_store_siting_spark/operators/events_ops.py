@@ -54,9 +54,11 @@ def sessionize(spark: SparkSession) -> DataFrame:
     flag + running sum — the classic W-function plan), aggregated to one
     row per session."""
     ev = spark.table("events").select(
-        "user_id", F.unix_timestamp("ts").alias("ets"), "event_type", "value"
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ets"), "event_type", "value"
     )
-    w = Window.partitionBy("user_id").orderBy("ets")
+    # event_id tiebreaker: ties in ets would make lag() nondeterministic
+    # at larger SF (running_totals already orders the same way).
+    w = Window.partitionBy("user_id").orderBy("ets", "event_id")
     flagged = ev.withColumn(
         "new_sess",
         F.when(
@@ -78,18 +80,18 @@ def sessionize(spark: SparkSession) -> DataFrame:
 def sessionize_oracle_sql() -> str:
     return f"""
 WITH ev AS (
-  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ets, event_type, value FROM events
+  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ets, event_type, value FROM events
 ),
 flagged AS (
-  SELECT user_id, ets, value,
-         CASE WHEN ets - LAG(ets) OVER (PARTITION BY user_id ORDER BY ets) > {SESSION_GAP_SEC}
+  SELECT user_id, event_id, ets, value,
+         CASE WHEN ets - LAG(ets) OVER (PARTITION BY user_id ORDER BY ets, event_id) > {SESSION_GAP_SEC}
               THEN 1 ELSE 0 END AS new_sess
   FROM ev
 ),
 sess AS (
   SELECT user_id, ets, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ets
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ets, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
   FROM flagged
 )
 SELECT user_id, sess_idx,
@@ -157,7 +159,7 @@ def json_props_extract_oracle_sql() -> str:
     return """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type"""

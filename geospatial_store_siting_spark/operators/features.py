@@ -153,13 +153,13 @@ def competition_ring(spark: SparkSession, k: int = 1) -> DataFrame:
     return (
         joined.groupBy("site_id")
         .agg(
-            F.countDistinct("competitor_id").alias("competitors_1ring"),
+            F.countDistinct("competitor_id").alias(f"competitors_{k}ring"),
             F.countDistinct(
                 F.when(F.col("category") == "QSR_Burger", F.col("competitor_id"))
-            ).alias("burger_competitors_1ring"),
+            ).alias(f"burger_competitors_{k}ring"),
             F.countDistinct(
                 F.when(F.col("category") == "Coffee", F.col("competitor_id"))
-            ).alias("coffee_competitors_1ring"),
+            ).alias(f"coffee_competitors_{k}ring"),
         )
     )
 
@@ -171,11 +171,11 @@ def competition_ring_oracle_sql(k: int = 1) -> str:
     return f"""
 WITH sites AS ({w}), competitors AS ({c}), ring AS ({ring})
 SELECT site_id,
-       COUNT(DISTINCT competitor_id) AS competitors_1ring,
+       COUNT(DISTINCT competitor_id) AS competitors_{k}ring,
        COUNT(DISTINCT CASE WHEN category = 'QSR_Burger' THEN competitor_id END)
-           AS burger_competitors_1ring,
+           AS burger_competitors_{k}ring,
        COUNT(DISTINCT CASE WHEN category = 'Coffee' THEN competitor_id END)
-           AS coffee_competitors_1ring
+           AS coffee_competitors_{k}ring
 FROM ring LEFT JOIN competitors ON ring.neighbor_h3 = competitors.h3_res8
 GROUP BY site_id"""
 
@@ -265,10 +265,10 @@ def poi_ring(spark: SparkSession, k: int = 1) -> DataFrame:
     return (
         joined.groupBy("site_id")
         .agg(
-            F.countDistinct("poi_id").alias("poi_1ring"),
+            F.countDistinct("poi_id").alias(f"poi_{k}ring"),
             F.countDistinct(
                 F.when(F.col("size_class") == "anchor", F.col("poi_id"))
-            ).alias("anchor_poi_1ring"),
+            ).alias(f"anchor_poi_{k}ring"),
         )
     )
 
@@ -280,8 +280,8 @@ def poi_ring_oracle_sql(k: int = 1) -> str:
     return f"""
 WITH sites AS ({w}), poi AS ({p}), ring AS ({ring})
 SELECT site_id,
-       COUNT(DISTINCT poi_id) AS poi_1ring,
-       COUNT(DISTINCT CASE WHEN size_class = 'anchor' THEN poi_id END) AS anchor_poi_1ring
+       COUNT(DISTINCT poi_id) AS poi_{k}ring,
+       COUNT(DISTINCT CASE WHEN size_class = 'anchor' THEN poi_id END) AS anchor_poi_{k}ring
 FROM ring LEFT JOIN poi ON ring.neighbor_h3 = poi.h3_res8
 GROUP BY site_id"""
 

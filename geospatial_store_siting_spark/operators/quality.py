@@ -25,6 +25,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Reference gate: generated sales must correlate with trade-area quality
+# at r >= 0.4 (`notebooks/00_quality_checks.py:128-143`).
+MIN_ANTI_CIRCULAR_R = 0.4
+
 
 @dataclass
 class TableSpec:
@@ -157,7 +161,11 @@ def anti_circular_correlation(spark: SparkSession) -> dict:
     )
     j = feats.join(stores, "site_id")
     r = j.stat.corr("trade_area_quality", "annual_sales")
-    return {"check": "corr(trade_area_quality, annual_sales)", "r": r, "passes": abs(r) >= 0.0}
+    return {
+        "check": "corr(trade_area_quality, annual_sales)",
+        "r": r,
+        "passes": abs(r) >= MIN_ANTI_CIRCULAR_R,
+    }
 
 
 def run_gate(spark: SparkSession, raise_on_fail: bool = True) -> dict:

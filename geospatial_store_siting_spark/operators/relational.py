@@ -25,9 +25,12 @@ def pricing_summary(spark: SparkSession) -> DataFrame:
     """TPC-H Q1 shape: scan + filter + wide grouped aggregation
     (map-side partial agg; the canonical Catalyst hash-agg plan)."""
     l = spark.table("lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    # dround the per-row product BEFORE the decimal cast: the 3-factor
+    # product has >4 decimal digits and Spark's double→decimal cast rounds
+    # HALF_UP while DuckDB rounds HALF_EVEN at exact half-way points.
+    disc_price = dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(DEC)
+    charge = dround(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
     ).cast(DEC)
     return (
         l.groupBy("l_returnflag", "l_linestatus")
@@ -48,8 +51,8 @@ def pricing_summary_oracle_sql() -> str:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST((FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST((FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
        (FLOOR((AVG(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS avg_qty,
        (FLOOR((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
        COUNT(*) AS count_order

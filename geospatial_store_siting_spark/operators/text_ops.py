@@ -151,11 +151,13 @@ FROM documents"""
 def fingerprint(spark: SparkSession) -> DataFrame:
     """Normalized md5 document fingerprint (exact-dedup key)."""
     docs = spark.table("documents")
-    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", ""))
+    # lower() BEFORE stripping: the strip class is [^a-z0-9 ], so stripping
+    # first would delete uppercase letters instead of folding them.
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
 def fingerprint_oracle_sql() -> str:
     return """
-SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(text, '[^a-z0-9 ]', '', 'g'))) AS fp
+SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS fp
 FROM documents"""

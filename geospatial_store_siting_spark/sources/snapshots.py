@@ -59,16 +59,22 @@ def snapshot_table(
     path = os.path.join(root, _key(sf_dir, name, defining_sql))
     manifest = os.path.join(path, "_manifest.json")  # "_" prefix: ignored by Spark's FileIndex
     if not os.path.exists(manifest):
-        df = spark.sql(defining_sql)
-        if repartition:
-            df = df.repartition(repartition)
-        tmp = f"{path}.tmp-{os.getpid()}"
-        df.write.mode("overwrite").parquet(tmp)
-        os.makedirs(root, exist_ok=True)
-        if os.path.exists(path):  # lost a race: another writer committed
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            os.rename(tmp, path)
+        if not os.path.exists(path):
+            df = spark.sql(defining_sql)
+            if repartition:
+                df = df.repartition(repartition)
+            tmp = f"{path}.tmp-{os.getpid()}"
+            df.write.mode("overwrite").parquet(tmp)
+            os.makedirs(root, exist_ok=True)
+            if os.path.exists(path):  # lost a race: another writer committed
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.rename(tmp, path)
+        if not os.path.exists(manifest):
+            # Also the crash-repair path: a writer that died between the
+            # dir rename and the manifest write leaves a manifest-less dir;
+            # without this, every later call recomputes and discards
+            # forever and resume treats the stage as uncommitted.
             rows = spark.read.parquet(path).count()
             meta = {
                 "table": name,
@@ -77,9 +83,9 @@ def snapshot_table(
                 "committed_at": time.time(),
                 "schema": spark.read.parquet(path).schema.jsonValue(),
             }
-            with open(manifest + ".tmp", "w") as f:
+            with open(manifest + f".tmp-{os.getpid()}", "w") as f:
                 json.dump(meta, f)
-            os.rename(manifest + ".tmp", manifest)
+            os.rename(manifest + f".tmp-{os.getpid()}", manifest)
     return spark.read.parquet(path)
 
 
