@@ -98,8 +98,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demographics_ring2": _q(lambda s: features.demographics_ring(s, 2)),
         "traffic_ring1": _q(lambda s: features.traffic_ring(s, 1)),
         "competition_ring1": _q(lambda s: features.competition_ring(s, 1)),
+        "competition_ring3": _q(lambda s: features.competition_ring(s, 3)),
         "competition_distance": _q(features.competition_distance),
         "poi_ring1": _q(lambda s: features.poi_ring(s, 1)),
+        "daytime_pop_ring1": _q(lambda s: features.daytime_population_ring(s, 1)),
+        "school_ring2": _q(lambda s: features.school_ring(s, 2)),
+        "property_features": _q(features.property_features),
         "cannibalization": _q(features.cannibalization),
         # --- Huff gravity model (§2.9 G5) ---
         "huff_features": _q(huff.huff_features),
@@ -205,8 +209,12 @@ def oracle_sql() -> dict[str, str]:
         "demographics_ring2": features.demographics_ring_oracle_sql(2),
         "traffic_ring1": features.traffic_ring_oracle_sql(1),
         "competition_ring1": features.competition_ring_oracle_sql(1),
+        "competition_ring3": features.competition_ring_oracle_sql(3),
         "competition_distance": features.competition_distance_oracle_sql(),
         "poi_ring1": features.poi_ring_oracle_sql(1),
+        "daytime_pop_ring1": features.daytime_population_ring_oracle_sql(1),
+        "school_ring2": features.school_ring_oracle_sql(2),
+        "property_features": features.property_features_oracle_sql(),
         "cannibalization": features.cannibalization_oracle_sql(),
         "huff_features": huff.huff_features_oracle_sql(),
         "score_candidates": scoring.score_candidates_oracle_sql(),

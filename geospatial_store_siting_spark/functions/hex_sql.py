@@ -190,7 +190,15 @@ def sites_sql(customer: str = "customer") -> str:
 
     Mirrors the reference's union of existing stores and candidate locations
     (`notebooks/10_feature_engineering.py:36-65`): ~1:10 store:candidate mix,
-    metro assignment, drive-thru flag, synthetic annual_sales for stores.
+    metro assignment, drive-thru flag, property columns (parking/rent NULL
+    for stores, as in the reference's imputation input, `:334-364`), and
+    synthetic annual_sales for stores.
+
+    annual_sales is derived from the site's OWN-CELL demographics (same
+    closed-form attrs as the grid) plus bounded noise, so sales genuinely
+    correlate with trade-area quality — the reference generator does the
+    same so its anti-circular gate (r >= 0.4) is meaningful
+    (`notebooks/00_quality_checks.py:128-143`).
     """
     lat, lon = latlon_sql("c_custkey")
     inner = f"""
@@ -200,19 +208,38 @@ SELECT c_custkey AS site_id,
        {lon} AS lon,
        CASE WHEN c_custkey % 11 = 0 THEN 'store' ELSE 'candidate' END AS site_type,
        CAST(CASE WHEN c_custkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS drive_thru,
-       CASE WHEN c_custkey % 11 = 0
-            THEN 800000.0 + CAST((c_custkey * {H3C}) % 1000000 AS DOUBLE)
-                 + c_acctbal * 100.0
-            ELSE NULL END AS annual_sales
+       c_acctbal AS acctbal,
+       CASE WHEN c_custkey % 3 = 0 THEN 'inline'
+            WHEN c_custkey % 3 = 1 THEN 'endcap'
+            ELSE 'freestanding' END AS property_type,
+       (1200.0 + CAST((c_custkey * 31) % 2800 AS DOUBLE)) AS square_feet,
+       CASE WHEN c_custkey % 11 = 0 THEN NULL
+            ELSE CAST(5 + (c_custkey * 13) % 95 AS DOUBLE) END AS parking_spaces,
+       CASE WHEN c_custkey % 11 = 0 THEN NULL
+            ELSE (12.0 + CAST((c_custkey * 29) % 400 AS DOUBLE) / 10.0) END AS rent_per_sqft
 FROM {customer}"""
-    return encode_select_sql(
+    enc = encode_select_sql(
         inner,
         lat="lat",
         lon="lon",
         res=8,
-        keep_cols=["site_id", "metro", "lat", "lon", "site_type", "drive_thru", "annual_sales"],
+        keep_cols=["site_id", "metro", "lat", "lon", "site_type", "drive_thru", "acctbal",
+                   "property_type", "square_feet", "parking_spaces", "rent_per_sqft"],
         cell_alias="h3_res8",
     )
+    attrs = grid_attrs_sql("h3_res8")
+    sales = (
+        f"CASE WHEN site_type = 'store' "
+        f"THEN 400000.0 + {attrs['population']} * 180.0 + {attrs['median_income']} * 9.0 "
+        f"+ CAST((site_id * {H3C}) % 120000 AS DOUBLE) + acctbal * 20.0 "
+        f"ELSE NULL END"
+    )
+    return f"""
+SELECT site_id, metro, lat, lon, site_type, drive_thru,
+       {sales} AS annual_sales,
+       property_type, square_feet, parking_spaces, rent_per_sqft,
+       h3_res8, q, r
+FROM ({enc}) __senc"""
 
 
 def competitors_sql(supplier: str = "supplier") -> str:
@@ -253,14 +280,16 @@ SELECT p_partkey AS poi_id,
             WHEN p_partkey % 5 = 1 THEN 'retail'
             WHEN p_partkey % 5 = 2 THEN 'gym'
             WHEN p_partkey % 5 = 3 THEN 'school'
-            ELSE 'office' END AS category
+            ELSE 'office' END AS category,
+       (CAST((p_partkey * 17) % 997 AS DOUBLE) * 2.0) AS foot_traffic_index
 FROM {part}"""
     return encode_select_sql(
         inner,
         lat="lat",
         lon="lon",
         res=8,
-        keep_cols=["poi_id", "metro", "lat", "lon", "size_class", "category"],
+        keep_cols=["poi_id", "metro", "lat", "lon", "size_class", "category",
+                   "foot_traffic_index"],
         cell_alias="h3_res8",
     )
 
@@ -280,6 +309,10 @@ def grid_attrs_sql(cell: str) -> dict[str, str]:
         "pedestrian_traffic": f"(CAST((({cell}) % 1009) AS DOUBLE) * 3.0)",
         "transit_score": f"(CAST(({cell}) % 83 AS DOUBLE) / 83.0 * 100.0)",
         "foot_traffic": f"(CAST((({cell}) % 769) AS DOUBLE) * 5.0)",
+        # commute flows for daytime population (reference bronze.traffic
+        # commute_inflow/outflow, `notebooks/10_feature_engineering.py:156-173`)
+        "commute_inflow": f"(CAST((({cell}) % 401) AS DOUBLE) * 20.0)",
+        "commute_outflow": f"(CAST((({cell}) % 379) AS DOUBLE) * 18.0)",
     }
 
 

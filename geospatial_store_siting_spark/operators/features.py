@@ -102,6 +102,40 @@ GROUP BY site_id"""
 
 
 # ---------------------------------------------------------------------------
+# Family 1b: daytime population (demographics + commute flows)
+# ---------------------------------------------------------------------------
+
+def daytime_population_ring(spark: SparkSession, k: int = 1) -> DataFrame:
+    """Daytime population = SUM(population + commute_inflow - commute_outflow)
+    over the k-ring (`notebooks/10_feature_engineering.py:156-173`)."""
+    sites = spark.table("sites")
+    grid = spark.table("hex_grid")
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner")
+    daytime = (
+        F.col("population")
+        + F.coalesce(F.col("commute_inflow"), F.lit(0.0))
+        - F.coalesce(F.col("commute_outflow"), F.lit(0.0))
+    )
+    return joined.groupBy("site_id").agg(
+        dround(F.sum(daytime), 4).alias(f"daytime_pop_{k}ring")
+    )
+
+
+def daytime_population_ring_oracle_sql(k: int = 1) -> str:
+    w = hex_sql.sites_sql()
+    g = hex_sql.grid_sql()
+    ring = rings.ring_pairs_oracle_sql("SELECT site_id, q, r FROM sites", k)
+    return f"""
+WITH sites AS ({w}), hex_grid AS ({g}), ring AS ({ring})
+SELECT site_id,
+       (FLOOR((SUM(population + COALESCE(commute_inflow, 0.0) - COALESCE(commute_outflow, 0.0)))
+              * 10000.0 + 0.5) / 10000.0) AS daytime_pop_{k}ring
+FROM ring JOIN hex_grid ON ring.neighbor_h3 = hex_grid.cell_id
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
 # Family 2: ring traffic (A3/A4)
 # ---------------------------------------------------------------------------
 
@@ -205,6 +239,7 @@ def competition_distance(
         F.col("lat").alias("c_lat"),
         F.col("lon").alias("c_lon"),
         "competitor_id",
+        "category",
     )
     pairs = sites.join(F.broadcast(comp), sites.metro == comp.c_metro, "inner")
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
@@ -214,6 +249,9 @@ def competition_distance(
         pairs.groupBy("site_id")
         .agg(
             dround(F.min("dist_miles"), 4).alias("nearest_competitor_miles"),
+            dround(
+                F.min(F.when(F.col("category") == "QSR_Burger", F.col("dist_miles"))), 4
+            ).alias("nearest_same_category_dist"),
             dround(
                 F.sum(
                     F.when(
@@ -237,11 +275,13 @@ def competition_distance_oracle_sql() -> str:
     return f"""
 WITH sites AS ({w}), competitors AS ({c}),
 pairs AS (
-  SELECT s.site_id, {hav} AS dist_miles, c.competitor_id
+  SELECT s.site_id, {hav} AS dist_miles, c.competitor_id, c.category
   FROM sites s JOIN competitors c ON s.metro = c.metro
 )
 SELECT site_id,
        (FLOOR((MIN(dist_miles)) * 10000.0 + 0.5) / 10000.0) AS nearest_competitor_miles,
+       (FLOOR((MIN(CASE WHEN category = 'QSR_Burger' THEN dist_miles END)) * 10000.0 + 0.5) / 10000.0)
+           AS nearest_same_category_dist,
        (FLOOR((SUM(CASE WHEN dist_miles <= {MILES}
                       THEN 1.0 / (dist_miles * dist_miles + {GRAVITY_EPS})
                       ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS competitive_intensity,
@@ -259,7 +299,10 @@ def poi_ring(spark: SparkSession, k: int = 1) -> DataFrame:
     """Anchor/total POI counts in the ring
     (`notebooks/10_feature_engineering.py:292-324`)."""
     sites = spark.table("sites")
-    poi = spark.table("poi").select(F.col("h3_res8").alias("p_cell"), "poi_id", "size_class")
+    poi = spark.table("poi").select(
+        F.col("h3_res8").alias("p_cell"), "poi_id", "size_class", "category",
+        "foot_traffic_index",
+    )
     pairs = rings.ring_pairs(spark, sites, k)
     joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
     return (
@@ -269,6 +312,12 @@ def poi_ring(spark: SparkSession, k: int = 1) -> DataFrame:
             F.countDistinct(
                 F.when(F.col("size_class") == "anchor", F.col("poi_id"))
             ).alias(f"anchor_poi_{k}ring"),
+            F.countDistinct(
+                F.when(F.col("category") == "office", F.col("poi_id"))
+            ).alias(f"office_poi_count_{k}ring"),
+            dround(
+                F.sum(F.coalesce(F.col("foot_traffic_index"), F.lit(0.0))), 4
+            ).alias(f"total_foot_traffic_{k}ring"),
         )
     )
 
@@ -281,9 +330,86 @@ def poi_ring_oracle_sql(k: int = 1) -> str:
 WITH sites AS ({w}), poi AS ({p}), ring AS ({ring})
 SELECT site_id,
        COUNT(DISTINCT poi_id) AS poi_{k}ring,
-       COUNT(DISTINCT CASE WHEN size_class = 'anchor' THEN poi_id END) AS anchor_poi_{k}ring
+       COUNT(DISTINCT CASE WHEN size_class = 'anchor' THEN poi_id END) AS anchor_poi_{k}ring,
+       COUNT(DISTINCT CASE WHEN category = 'office' THEN poi_id END) AS office_poi_count_{k}ring,
+       (FLOOR((SUM(COALESCE(foot_traffic_index, 0.0))) * 10000.0 + 0.5) / 10000.0)
+           AS total_foot_traffic_{k}ring
 FROM ring LEFT JOIN poi ON ring.neighbor_h3 = poi.h3_res8
 GROUP BY site_id"""
+
+
+def school_ring(spark: SparkSession, k: int = 2) -> DataFrame:
+    """School count over the k=2 ring
+    (`notebooks/10_feature_engineering.py:311-321`)."""
+    sites = spark.table("sites")
+    poi = spark.table("poi").select(
+        F.col("h3_res8").alias("p_cell"), "poi_id", "category"
+    )
+    pairs = rings.ring_pairs(spark, sites, k)
+    joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
+    return joined.groupBy("site_id").agg(
+        F.countDistinct(
+            F.when(F.col("category") == "school", F.col("poi_id"))
+        ).alias(f"school_count_{k}ring")
+    )
+
+
+def school_ring_oracle_sql(k: int = 2) -> str:
+    w = hex_sql.sites_sql()
+    p = hex_sql.poi_sql()
+    ring = rings.ring_pairs_oracle_sql("SELECT site_id, q, r FROM sites", k)
+    return f"""
+WITH sites AS ({w}), poi AS ({p}), ring AS ({ring})
+SELECT site_id,
+       COUNT(DISTINCT CASE WHEN category = 'school' THEN poi_id END) AS school_count_{k}ring
+FROM ring LEFT JOIN poi ON ring.neighbor_h3 = poi.h3_res8
+GROUP BY site_id"""
+
+
+# ---------------------------------------------------------------------------
+# Family 5b: property features with per-metro median imputation (J14 + A9)
+# ---------------------------------------------------------------------------
+
+def property_features(spark: SparkSession) -> DataFrame:
+    """Property columns with per-metro median fill from candidates
+    (`notebooks/10_feature_engineering.py:334-364`): stores carry NULL
+    parking/rent, imputed from the candidate medians of their metro.
+    The 5-row medians dim is broadcast — no shuffle of the site side."""
+    sites = spark.table("sites")
+    med = (
+        sites.filter(F.col("site_type") == "candidate")
+        .groupBy("metro")
+        .agg(
+            F.expr("percentile(parking_spaces, 0.5)").alias("med_parking"),
+            F.expr("percentile(rent_per_sqft, 0.5)").alias("med_rent"),
+        )
+    )
+    return sites.join(F.broadcast(med), "metro", "left").select(
+        "site_id",
+        F.when(F.col("drive_thru") > 0, 1.0).otherwise(0.0).alias("drive_thru_capable_flag"),
+        F.coalesce(F.col("parking_spaces"), F.floor(F.col("med_parking")).cast("double")).alias(
+            "parking_spaces"
+        ),
+        F.col("square_feet"),
+        dround(F.coalesce(F.col("rent_per_sqft"), F.col("med_rent")), 4).alias("rent_per_sqft"),
+    )
+
+
+def property_features_oracle_sql() -> str:
+    return f"""
+WITH sites AS ({hex_sql.sites_sql()}),
+med AS (
+  SELECT metro,
+         QUANTILE_CONT(parking_spaces, 0.5) AS med_parking,
+         QUANTILE_CONT(rent_per_sqft, 0.5) AS med_rent
+  FROM sites WHERE site_type = 'candidate' GROUP BY metro
+)
+SELECT s.site_id,
+       CAST(CASE WHEN s.drive_thru > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS drive_thru_capable_flag,
+       COALESCE(s.parking_spaces, CAST(FLOOR(m.med_parking) AS DOUBLE)) AS parking_spaces,
+       s.square_feet,
+       (FLOOR((COALESCE(s.rent_per_sqft, m.med_rent)) * 10000.0 + 0.5) / 10000.0) AS rent_per_sqft
+FROM sites s LEFT JOIN med m ON s.metro = m.metro"""
 
 
 # ---------------------------------------------------------------------------
@@ -355,17 +481,37 @@ GROUP BY site_id"""
 # Assembly (J9 chained left joins + null-fill contract)
 # ---------------------------------------------------------------------------
 
+# the reference null-fills EVERY numeric feature with 0
+# (`notebooks/10_feature_engineering.py:786-789`)
 FILL_ZERO = [
+    "population_1ring",
+    "median_income_1ring",
+    "target_demo_pct_1ring",
+    "daytime_pop_1ring",
+    "college_pct_1ring",
+    "max_pedestrian_traffic",
+    "avg_transit_score",
+    "foot_traffic_sum",
     "competitors_1ring",
     "burger_competitors_1ring",
     "coffee_competitors_1ring",
+    "competitors_3ring",
+    "nearest_competitor_miles",
+    "nearest_same_category_dist",
     "competitive_intensity",
     "competitors_3mi",
     "poi_1ring",
     "anchor_poi_1ring",
+    "office_poi_count_1ring",
+    "school_count_2ring",
+    "total_foot_traffic_1ring",
+    "parking_spaces",
+    "square_feet",
+    "rent_per_sqft",
     "cannibalization_risk",
-    "population_1ring",
-    "foot_traffic_sum",
+    "nearest_own_store_miles",
+    "huff_market_share",
+    "huff_expected_demand",
 ]
 
 
@@ -396,93 +542,148 @@ def _demographics_traffic_ring(spark: SparkSession, k: int = 1) -> DataFrame:
             dround(F.max("pedestrian_traffic"), 4).alias("max_pedestrian_traffic"),
             dround(F.avg("transit_score"), 4).alias("avg_transit_score"),
             dround(F.sum("foot_traffic"), 4).alias("foot_traffic_sum"),
+            dround(
+                F.sum(
+                    F.col("population")
+                    + F.coalesce(F.col("commute_inflow"), F.lit(0.0))
+                    - F.coalesce(F.col("commute_outflow"), F.lit(0.0))
+                ),
+                4,
+            ).alias(f"daytime_pop_{k}ring"),
         )
     )
 
 
 def location_features(spark: SparkSession) -> DataFrame:
-    """gold.location_features: all families left-joined onto the site base,
-    numeric features null-filled (`notebooks/10_feature_engineering.py:
-    759-803`), plus the derived trade_area_quality / market_saturation
-    columns (L791-803).
+    """gold.location_features: the FULL reference NUMERIC_FEATURES contract
+    (`notebooks/_config.py:95-124`): demographic (incl. daytime pop),
+    traffic, competition (1-ring, 3-ring, nearest any/same-category,
+    intensity), POI (anchor/office/school/foot-traffic), property
+    (imputed parking/rent + sqft), cannibalization, and Huff market
+    share/expected demand — all families left-joined onto the site base
+    and null-filled (`notebooks/10_feature_engineering.py:759-789`), plus
+    the derived trade_area_quality / market_saturation columns (L791-803).
 
     Assembly plan: the base is repartitioned on site_id once; every family
     aggregate is already hash-partitioned on site_id by its groupBy, so the
-    five left joins reuse that partitioning — one shuffle of the base, zero
-    re-shuffles of the families (scale-invariant: partition count follows
-    spark.sql.shuffle.partitions)."""
+    family left joins reuse that partitioning — one shuffle of the base,
+    zero re-shuffles of the families (scale-invariant: partition count
+    follows spark.sql.shuffle.partitions).  Demographics+traffic+daytime
+    are fused into ONE ring pass; schools ride the k=2 POI pass; huff
+    reuses its per-distinct-cell denominator."""
+    from .huff import huff_features  # deferred: huff imports features
+
     base = spark.table("sites").select(
         "site_id", "metro", "site_type", "drive_thru", "h3_res8"
     ).repartition("site_id")
+    comp3 = competition_ring(spark, 3).select("site_id", "competitors_3ring")
+    huff = huff_features(spark).withColumnRenamed("huff_demand", "huff_expected_demand")
     out = (
         base.join(_demographics_traffic_ring(spark, 1), "site_id", "left")
         .join(competition_ring(spark, 1), "site_id", "left")
+        .join(comp3, "site_id", "left")
         .join(competition_distance(spark), "site_id", "left")
         .join(poi_ring(spark, 1), "site_id", "left")
+        .join(school_ring(spark, 2), "site_id", "left")
+        .join(property_features(spark), "site_id", "left")
         .join(cannibalization(spark), "site_id", "left")
+        .join(huff, "site_id", "left")
     )
     for c in FILL_ZERO:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    # derived features — the reference formulas (L791-803)
     out = out.withColumn(
         "trade_area_quality",
         dround(
-            F.coalesce(F.col("population_1ring"), F.lit(0.0)) / 1000.0
-            + F.coalesce(F.col("target_demo_pct_1ring"), F.lit(0.0)) * 10.0
-            + F.coalesce(F.col("anchor_poi_1ring"), F.lit(0.0)),
-            4,
+            F.col("median_income_1ring") / 100000.0 * 0.3
+            + F.col("max_pedestrian_traffic") / 100000.0 * 0.3
+            + F.col("population_1ring") / 50000.0 * 0.4,
+            6,
         ),
     ).withColumn(
         "market_saturation",
         dround(
-            F.col("competitive_intensity")
-            / (F.coalesce(F.col("population_1ring"), F.lit(0.0)) / 1000.0 + 1.0),
-            4,
+            F.when(
+                F.col("population_1ring") > 0,
+                F.col("competitors_3ring") / F.col("population_1ring") * 10000.0,
+            ).otherwise(F.lit(0.0)),
+            6,
         ),
     )
     return out
 
 
 def location_features_oracle_sql() -> str:
+    from .huff import huff_features_oracle_sql
+
     fills = {
+        "population_1ring": "d.population_1ring",
+        "median_income_1ring": "d.median_income_1ring",
+        "target_demo_pct_1ring": "d.target_demo_pct_1ring",
+        "daytime_pop_1ring": "dp.daytime_pop_1ring",
+        "college_pct_1ring": "d.college_pct_1ring",
+        "max_pedestrian_traffic": "t.max_pedestrian_traffic",
+        "avg_transit_score": "t.avg_transit_score",
+        "foot_traffic_sum": "t.foot_traffic_sum",
         "competitors_1ring": "cr.competitors_1ring",
         "burger_competitors_1ring": "cr.burger_competitors_1ring",
         "coffee_competitors_1ring": "cr.coffee_competitors_1ring",
+        "competitors_3ring": "c3.competitors_3ring",
+        "nearest_competitor_miles": "cd.nearest_competitor_miles",
+        "nearest_same_category_dist": "cd.nearest_same_category_dist",
         "competitive_intensity": "cd.competitive_intensity",
         "competitors_3mi": "cd.competitors_3mi",
         "poi_1ring": "p.poi_1ring",
         "anchor_poi_1ring": "p.anchor_poi_1ring",
+        "office_poi_count_1ring": "p.office_poi_count_1ring",
+        "school_count_2ring": "sc.school_count_2ring",
+        "total_foot_traffic_1ring": "p.total_foot_traffic_1ring",
+        "parking_spaces": "pr.parking_spaces",
+        "square_feet": "pr.square_feet",
+        "rent_per_sqft": "pr.rent_per_sqft",
         "cannibalization_risk": "cb.cannibalization_risk",
-        "population_1ring": "d.population_1ring",
-        "foot_traffic_sum": "t.foot_traffic_sum",
+        "nearest_own_store_miles": "cb.nearest_own_store_miles",
+        "huff_market_share": "hf.huff_market_share",
+        "huff_expected_demand": "hf.huff_demand",
     }
     fill_cols = ",\n       ".join(
         f"COALESCE({src}, 0.0) AS {name}" for name, src in fills.items()
     )
     return f"""
 WITH demo AS ({demographics_ring_oracle_sql(1)}),
+daytime AS ({daytime_population_ring_oracle_sql(1)}),
 traffic AS ({traffic_ring_oracle_sql(1)}),
 compring AS ({competition_ring_oracle_sql(1)}),
+compring3 AS ({competition_ring_oracle_sql(3)}),
 compdist AS ({competition_distance_oracle_sql()}),
 poif AS ({poi_ring_oracle_sql(1)}),
+school AS ({school_ring_oracle_sql(2)}),
+prop AS ({property_features_oracle_sql()}),
 cannib AS ({cannibalization_oracle_sql()}),
+hufff AS ({huff_features_oracle_sql()}),
 base AS (SELECT site_id, metro, site_type, drive_thru, h3_res8
          FROM ({hex_sql.sites_sql()}) __sites)
 SELECT b.site_id, b.metro, b.site_type, b.drive_thru, b.h3_res8,
-       d.median_income_1ring, d.target_demo_pct_1ring, d.college_pct_1ring, d.n_cells,
-       t.max_pedestrian_traffic, t.avg_transit_score,
-       cd.nearest_competitor_miles,
-       cb.nearest_own_store_miles,
+       d.n_cells,
+       pr.drive_thru_capable_flag,
        {fill_cols},
-       (FLOOR((COALESCE(d.population_1ring, 0.0) / 1000.0
-             + COALESCE(d.target_demo_pct_1ring, 0.0) * 10.0
-             + COALESCE(p.anchor_poi_1ring, 0.0)) * 10000.0 + 0.5) / 10000.0) AS trade_area_quality,
-       (FLOOR((COALESCE(cd.competitive_intensity, 0.0)
-             / (COALESCE(d.population_1ring, 0.0) / 1000.0 + 1.0)) * 10000.0 + 0.5) / 10000.0)
+       (FLOOR((COALESCE(d.median_income_1ring, 0.0) / 100000.0 * 0.3
+             + COALESCE(t.max_pedestrian_traffic, 0.0) / 100000.0 * 0.3
+             + COALESCE(d.population_1ring, 0.0) / 50000.0 * 0.4) * 1000000.0 + 0.5) / 1000000.0)
+           AS trade_area_quality,
+       (FLOOR((CASE WHEN COALESCE(d.population_1ring, 0.0) > 0
+                    THEN COALESCE(c3.competitors_3ring, 0.0) / d.population_1ring * 10000.0
+                    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0)
            AS market_saturation
 FROM base b
 LEFT JOIN demo d ON b.site_id = d.site_id
+LEFT JOIN daytime dp ON b.site_id = dp.site_id
 LEFT JOIN traffic t ON b.site_id = t.site_id
 LEFT JOIN compring cr ON b.site_id = cr.site_id
+LEFT JOIN compring3 c3 ON b.site_id = c3.site_id
 LEFT JOIN compdist cd ON b.site_id = cd.site_id
 LEFT JOIN poif p ON b.site_id = p.site_id
-LEFT JOIN cannib cb ON b.site_id = cb.site_id"""
+LEFT JOIN school sc ON b.site_id = sc.site_id
+LEFT JOIN prop pr ON b.site_id = pr.site_id
+LEFT JOIN cannib cb ON b.site_id = cb.site_id
+LEFT JOIN hufff hf ON b.site_id = hf.site_id"""

@@ -52,3 +52,30 @@ def test_parquet_filter_pushdown_reaches_scan(geo):
     plan = _plan(df)
     assert re.search(r"PushedFilters: \[.*EqualTo\(l_orderkey,42\)", plan)
     assert re.search(r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>", plan)
+
+
+def test_gold_feature_contract_complete(geo):
+    """The assembly carries the reference's full NUMERIC_FEATURES contract
+    (`/root/reference/notebooks/_config.py:95-124`), repo naming."""
+    contract = {
+        # demographic
+        "population_1ring", "median_income_1ring", "target_demo_pct_1ring",
+        "daytime_pop_1ring", "college_pct_1ring",
+        # traffic
+        "max_pedestrian_traffic", "avg_transit_score", "foot_traffic_sum",
+        # competition
+        "competitors_1ring", "competitors_3ring", "nearest_competitor_miles",
+        "nearest_same_category_dist", "competitive_intensity",
+        # poi
+        "anchor_poi_1ring", "office_poi_count_1ring", "school_count_2ring",
+        "total_foot_traffic_1ring",
+        # property
+        "drive_thru_capable_flag", "parking_spaces", "square_feet",
+        "rent_per_sqft",
+        # derived
+        "trade_area_quality", "cannibalization_risk", "market_saturation",
+        "huff_market_share", "huff_expected_demand",
+    }
+    cols = set(features.location_features(geo).columns)
+    missing = contract - cols
+    assert not missing, f"gold contract columns missing: {sorted(missing)}"
