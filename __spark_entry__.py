@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from geospatial_store_siting_spark.operators import (
     app_queries,
     dedup,
+    dev_signals,
     encode,
     events_ops,
     features,
@@ -105,6 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "school_ring2": _q(lambda s: features.school_ring(s, 2)),
         "property_features": _q(features.property_features),
         "cannibalization": _q(features.cannibalization),
+        # --- development-signal H3 layer (Phase-3 module) ---
+        "dev_dominant_county": _q(dev_signals.dominant_county),
+        "dev_signals_h3": _q(dev_signals.dev_signals_by_h3),
+        "dev_signal_ring1": _q(lambda s: dev_signals.dev_signal_ring(s, 1)),
         # --- Huff gravity model (§2.9 G5) ---
         "huff_features": _q(huff.huff_features),
         # --- scoring / windows (§2.5 W1-W4) ---
@@ -216,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
         "school_ring2": features.school_ring_oracle_sql(2),
         "property_features": features.property_features_oracle_sql(),
         "cannibalization": features.cannibalization_oracle_sql(),
+        "dev_dominant_county": dev_signals.dominant_county_oracle_sql(),
+        "dev_signals_h3": dev_signals.dev_signals_by_h3_oracle_sql(),
+        "dev_signal_ring1": dev_signals.dev_signal_ring_oracle_sql(1),
         "huff_features": huff.huff_features_oracle_sql(),
         "score_candidates": scoring.score_candidates_oracle_sql(),
         "top5_per_metro": scoring.top_candidates_per_metro_oracle_sql(),

@@ -554,7 +554,7 @@ def _demographics_traffic_ring(spark: SparkSession, k: int = 1) -> DataFrame:
     )
 
 
-def location_features(spark: SparkSession) -> DataFrame:
+def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFrame:
     """gold.location_features: the FULL reference NUMERIC_FEATURES contract
     (`notebooks/_config.py:95-124`): demographic (incl. daytime pop),
     traffic, competition (1-ring, 3-ring, nearest any/same-category,
@@ -589,6 +589,12 @@ def location_features(spark: SparkSession) -> DataFrame:
         .join(cannibalization(spark), "site_id", "left")
         .join(huff, "site_id", "left")
     )
+    if dev_signals:
+        # optional Phase-3 module (reference DEV_SIGNALS_ENABLED gate,
+        # `notebooks/10_feature_engineering.py:703-745`)
+        from .dev_signals import dev_signal_ring
+
+        out = out.join(dev_signal_ring(spark, 1), "site_id", "left")
     for c in FILL_ZERO:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     # derived features — the reference formulas (L791-803)

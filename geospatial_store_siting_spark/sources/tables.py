@@ -46,12 +46,22 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def _dev_views() -> dict:
+    from ..operators.dev_signals import DEV_VIEWS
+
+    return DEV_VIEWS
+
+
 GEO_VIEWS = {
     "sites": hex_sql.sites_sql,
     "competitors": hex_sql.competitors_sql,
     "poi": hex_sql.poi_sql,
     "hex_grid": hex_sql.grid_sql,
 }
+
+
+def all_views() -> dict:
+    return {**GEO_VIEWS, **_dev_views()}
 
 
 def register_geo_views(
@@ -70,7 +80,7 @@ def register_geo_views(
     from . import snapshots
 
     out = {}
-    for name, sql_fn in GEO_VIEWS.items():
+    for name, sql_fn in all_views().items():
         if materialize and sf_dir:
             df = snapshots.snapshot_table(spark, name, sql_fn(), sf_dir)
         else:
@@ -88,10 +98,11 @@ def load_all(spark: SparkSession, sf_dir: str, materialize: bool = True) -> dict
 
 def oracle_cte(name: str) -> str:
     """The DuckDB-side CTE body for a derived view, e.g. ``sites``."""
-    return GEO_VIEWS[name]()
+    return all_views()[name]()
 
 
 def oracle_with_clause(names: list[str]) -> str:
     """``WITH sites AS (...), ...`` prefix for oracle SQL strings."""
-    parts = ", ".join(f"{n} AS ({GEO_VIEWS[n]()})" for n in names)
+    views = all_views()
+    parts = ", ".join(f"{n} AS ({views[n]()})" for n in names)
     return f"WITH {parts}"
