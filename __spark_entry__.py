@@ -128,7 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q(dedup.exact_dedup),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs),
-        "dedup_simhash": _q(dedup.simhash),  # rows-only (bit ops not SQL-portable)
+        "dedup_simhash": _q(dedup.simhash),
         "dedup_embedding_cosine": _q(dedup.embedding_near_dup),
         # --- similarity search (ANN) ---
         "ann_brute_force_topk": _q(similarity.brute_force_topk),
@@ -237,7 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_dedup_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle_sql(),
-        # dedup_simhash: intentionally no oracle (rows-only check)
+        "dedup_simhash": dedup.simhash_oracle_sql(),
         "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
         "ann_lsh_topk": similarity.ann_topk_oracle_sql(),
         "embedding_label_centroids": similarity.label_centroid_distances_oracle_sql(),

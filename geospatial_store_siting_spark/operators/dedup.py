@@ -21,9 +21,6 @@ always (lo, hi) ordered to dedupe the symmetric pair space.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,19 +35,27 @@ LSH_BANDS = 4  # 2 seeds per band
 
 
 def shingles(spark: SparkSession) -> DataFrame:
-    """Word 3-gram shingles, ≤MAX_SHINGLES per doc (portable: split_part
-    word indexing + a position generator)."""
+    """Word 3-gram shingles, ≤MAX_SHINGLES per doc.
+
+    The text is split ONCE into a token array, then shingles are O(1)
+    element_at lookups — split_part(text, ' ', i+j) per position would
+    re-scan the full text 3×MAX_SHINGLES times per doc (O(len·shingles)),
+    the dominant cost of the minhash plan at corpus scale.  The oracle
+    keeps split_part (identical output; DuckDB run is small)."""
     docs = spark.table("documents")
     n_tokens = F.expr(token_count_sql("text"))
     pos = docs.select(
         "doc_id",
-        "text",
+        F.split(F.col("text"), " ").alias("toks"),
         n_tokens.alias("nt"),
         F.explode(F.sequence(F.lit(1), F.lit(MAX_SHINGLES))).alias("i"),
     ).filter(F.col("i") <= F.col("nt") - (N_SHINGLE_WORDS - 1))
     shingle = F.concat_ws(
         " ",
-        *[F.expr(f"split_part(text, ' ', i + {j})") for j in range(N_SHINGLE_WORDS)],
+        *[
+            F.element_at(F.col("toks"), F.col("i") + F.lit(j))
+            for j in range(N_SHINGLE_WORDS)
+        ],
     )
     return pos.select("doc_id", shingle.alias("shingle"))
 
@@ -100,8 +105,12 @@ GROUP BY fp"""
 
 def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.35) -> DataFrame:
     """Candidate pairs from a shingle inverted index, scored with exact
-    Jaccard over distinct shingles.  DF-capped postings bound the join."""
-    sh = shingles(spark).distinct()
+    Jaccard over distinct shingles.  DF-capped postings bound the join.
+    The distinct shingle set feeds four consumers (sizes, DF filter, both
+    posting sides) — persisted so the explode+distinct runs once."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingles(spark).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
     postings = sh.join(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP),
@@ -159,46 +168,86 @@ WHERE (FLOOR((CAST(n_inter AS DOUBLE) / (sa.size + sb.size - n_inter)) * 1000000
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_P = 2147483647  # 2^31 - 1 (prime) — universal-hash modulus
+
+
+def _h48_sql(h: str = "h") -> str:
+    """48-bit integer from the first 12 md5 nibbles (portable, exact)."""
+    return " + ".join(
+        # CAST: a bare power-of-16 literal parses as INT32 in Spark and the
+        # nibble product overflows under ANSI mode for n >= 8
+        f"(INSTR('0123456789abcdef', SUBSTRING({h}, {n + 1}, 1)) - 1) * CAST({16 ** n} AS BIGINT)"
+        for n in range(12)
+    )
+
+
+def _mh_sql(seed: int) -> str:
+    """Seeded permutation of h48: (a·h + b) mod p — ONE md5 per shingle
+    feeds all seeds (8 md5 calls per shingle was the dominant cost of the
+    signature stage at corpus scale).  All operands < 2^31 so products
+    stay < 2^62: exact BIGINT in both engines."""
+    a = (2654435761 * (seed + 1)) % MINHASH_P
+    b = (96002369 * (seed + 1)) % MINHASH_P
+    return f"MIN(((h48 % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})"
+
+
 def minhash_signatures(spark: SparkSession) -> DataFrame:
-    """Per-doc minhash signature columns mh0..mh{n-1}: lexicographic min of
-    md5(seed || shingle) — a portable permutation family."""
+    """Per-doc minhash signature columns mh0..mh{n-1}: min of a seeded
+    universal hash over one engine-side md5 per shingle."""
     sh = shingles(spark).distinct()
+    hashed = sh.select(
+        "doc_id", F.md5("shingle").alias("h")
+    ).select("doc_id", F.expr(_h48_sql()).alias("h48"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
-        for seed in range(MINHASH_SEEDS)
+        F.expr(_mh_sql(seed)).alias(f"mh{seed}") for seed in range(MINHASH_SEEDS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_sql() -> str:
     sh = shingles_sql()
-    aggs = ", ".join(
-        f"MIN(MD5('s{seed}:' || shingle)) AS mh{seed}" for seed in range(MINHASH_SEEDS)
-    )
+    aggs = ", ".join(f"{_mh_sql(seed)} AS mh{seed}" for seed in range(MINHASH_SEEDS))
     return f"""
 SELECT doc_id, {aggs}
-FROM (SELECT DISTINCT doc_id, shingle FROM ({sh}) __s) __d
+FROM (
+  SELECT doc_id, {_h48_sql('h')} AS h48
+  FROM (
+    SELECT doc_id, MD5(shingle) AS h
+    FROM (SELECT DISTINCT doc_id, shingle FROM ({sh}) __s) __d
+  ) __h
+) __h48
 GROUP BY doc_id"""
 
 
 def minhash_lsh_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidates; the
-    estimated similarity = fraction of agreeing minhash components."""
-    sig = minhash_signatures(spark)
+    estimated similarity = fraction of agreeing minhash components.
+
+    The signature table feeds three consumers (band buckets + both sides
+    of the signature join): it is persisted so the shingle→hash→agg plan
+    executes ONCE (doc-level rows — tiny next to the corpus), and the
+    band table is a single generator explode rather than a UNION of
+    per-band selects (which would re-execute the signature plan per
+    band)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sig = minhash_signatures(spark).persist(StorageLevel.MEMORY_AND_DISK)
     per_band = MINHASH_SEEDS // LSH_BANDS
-    bands = []
-    for bidx in range(LSH_BANDS):
-        cols = [f"mh{bidx * per_band + j}" for j in range(per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(bidx).alias("band"),
-                F.concat_ws("|", *[F.col(c) for c in cols]).alias("bucket"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{bidx * per_band + j}") for j in range(per_band)],
+                ).alias("bucket"),
             )
-        )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+            for bidx in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
@@ -226,7 +275,7 @@ def minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
     band_selects = []
     for bidx in range(LSH_BANDS):
         cols = " || '|' || ".join(
-            f"mh{bidx * per_band + j}" for j in range(per_band)
+            f"CAST(mh{bidx * per_band + j} AS STRING)" for j in range(per_band)
         )
         band_selects.append(
             f"SELECT doc_id, {bidx} AS band, {cols} AS bucket FROM sig"
@@ -252,52 +301,132 @@ WHERE (FLOOR((({agree}) / {float(MINHASH_SEEDS)}) * 1000000.0 + 0.5) / 1000000.0
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized Arrow kernel — rows-only check)
+# SimHash — fully relational (engine-side md5 bit aggregation, no Python)
 # ---------------------------------------------------------------------------
 
-def simhash(spark: SparkSession, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens via a vectorized pandas UDF (Arrow
-    batches; numpy bit ops per partition — never per-row Python)."""
+SIMHASH_BITS = 60  # 15 md5 nibbles; signature < 2^60 stays exact as BIGINT
+SIMHASH_TOKEN_CAP = 64  # bounded work per document (like MAX_SHINGLES)
 
-    @F.pandas_udf("long")
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for row, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.split(" ")
-            # deterministic 64-bit token hashes (FNV-1a, vectorized per doc)
-            acc = np.zeros(bits, dtype=np.int64)
-            hs = np.zeros(len(toks), dtype=np.uint64)
-            for i, tok in enumerate(toks):
-                h = np.uint64(1469598103934665603)
-                for ch in tok.encode():
-                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-                hs[i] = h
-            bits_matrix = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
-            acc = (bits_matrix * 2 - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(bits):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[row] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
 
-    docs = spark.table("documents")
-    return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+def _simhash_tail_sql() -> str:
+    """The dialect-neutral part of the SimHash plan, given a CTE ``tok``
+    with (doc_id, h=md5(token)):  decode the first 15 hex nibbles, sum
+    ±1 per bit across tokens, assemble the signature.  Token hashing is
+    the ENGINE's md5 (shared permutation family with minhash), so the
+    whole operator is SQL-portable and oracle-checked — the round-1
+    pandas kernel looped per character in Python."""
+    nibs = ",\n         ".join(
+        f"(INSTR('0123456789abcdef', SUBSTRING(h, {n + 1}, 1)) - 1) AS nib{n}"
+        for n in range(SIMHASH_BITS // 4)
+    )
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (nib{b // 4} % {2 ** (b % 4 + 1)}) >= {2 ** (b % 4)} "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+nib AS (
+  SELECT doc_id,
+         {nibs}
+  FROM tok
+),
+acc AS (
+  SELECT doc_id,
+         {sums}
+  FROM nib GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM acc"""
+
+
+def simhash(spark: SparkSession) -> DataFrame:
+    """60-bit SimHash over word tokens, entirely JVM-side: token explode →
+    md5 → nibble decode → per-bit signed sums → signature.  One shuffle
+    (the per-doc agg); linear in corpus size; no UDF."""
+    tk = token_count_sql("text")
+    sql = f"""
+WITH tok AS (
+  SELECT doc_id, md5(split_part(text, ' ', i)) AS h
+  FROM (
+    SELECT doc_id, text, explode(sequence(1, {SIMHASH_TOKEN_CAP})) AS i
+    FROM documents
+  ) __pos
+  WHERE i <= {tk}
+),
+{_simhash_tail_sql()}"""
+    return spark.sql(sql)
+
+
+def simhash_oracle_sql() -> str:
+    idx = ", ".join(f"({i})" for i in range(1, SIMHASH_TOKEN_CAP + 1))
+    tk = token_count_sql("d.text")
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, MD5(split_part(d.text, ' ', o.i)) AS h
+  FROM documents d
+  CROSS JOIN (SELECT * FROM (VALUES {idx}) AS __pos(i)) o
+  WHERE o.i <= {tk}
+),
+{_simhash_tail_sql()}"""
+
+
+EMB_LSH_BANDS = 4  # bands of N_PLANES/EMB_LSH_BANDS sign-projection planes
+
+
+def _emb_band_buckets(spark: SparkSession) -> DataFrame:
+    """Banded sign-random-projection buckets: a pair collides if it agrees
+    on ALL planes of ANY band — the OR-of-ANDs recall amplification of
+    MinHash banding applied to SRP (one 8-plane bucket would have ~2%
+    recall at cosine 0.35).  Planes come from similarity._plane_coef, so
+    both engines derive identical buckets."""
+    from .similarity import N_PLANES, _plane_coef, DIM
+
+    emb = spark.table("embeddings")
+    per_band = N_PLANES // EMB_LSH_BANDS
+    bands = []
+    for bidx in range(EMB_LSH_BANDS):
+        bucket = F.lit(0).cast("long")
+        for j in range(per_band):
+            plane = bidx * per_band + j
+            coefs = F.array(*[F.lit(float(_plane_coef(plane, i))) for i in range(DIM)])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), coefs, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+        bands.append(
+            emb.select("vec_id", F.lit(bidx).alias("band"), bucket.alias("bucket"))
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def embedding_near_dup(spark: SparkSession, threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the vector-space dedup pass
-    of a training pipeline): all (lo, hi) pairs above the cosine
-    threshold.  Brute force here (corpus-sized); the LSH-bucketed variant
-    in operators/similarity.py is the scale path."""
+    """Embedding-cosine near-duplicate pairs via banded LSH candidates +
+    exact cosine refine — the scale path: candidate generation is a
+    bucket-local equi-join (no all-pairs crossJoin, no corpus broadcast),
+    then the exact cosine keeps only true near-dups.  Approximate by
+    design: pairs colliding in no band are not examined (recall ≈0.85 at
+    cosine 0.35, →1 as cosine →1)."""
     from .similarity import _dot_cols, _norm_col
 
     emb = spark.table("embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    buckets = _emb_band_buckets(spark)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "a").join(eb, "b")
     cos = _dot_cols("ea", "eb") / (_norm_col("ea") * _norm_col("eb"))
     return (
         pairs.select("a", "b", dround(cos, 6).alias("cosine"))
@@ -305,12 +434,40 @@ def embedding_near_dup(spark: SparkSession, threshold: float = 0.35) -> DataFram
     )
 
 
+def _emb_band_buckets_sql() -> str:
+    from .similarity import N_PLANES, _plane_coef, DIM
+
+    per_band = N_PLANES // EMB_LSH_BANDS
+    selects = []
+    for bidx in range(EMB_LSH_BANDS):
+        parts = []
+        for j in range(per_band):
+            plane = bidx * per_band + j
+            terms = " + ".join(
+                f"(CAST(embedding[{i + 1}] AS DOUBLE) * {float(_plane_coef(plane, i))})"
+                for i in range(DIM)
+            )
+            parts.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** j} ELSE 0 END")
+        selects.append(
+            f"SELECT vec_id, {bidx} AS band, CAST({' + '.join(parts)} AS BIGINT) AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def embedding_near_dup_oracle_sql(threshold: float = 0.35) -> str:
     from .similarity import _dot_sql, _norm_sql
 
-    cos = f"({_dot_sql('x.embedding', 'y.embedding')}) / ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')})"
+    cos = f"({_dot_sql('ea.embedding', 'eb.embedding')}) / ({_norm_sql('ea.embedding')} * {_norm_sql('eb.embedding')})"
     return f"""
-SELECT x.vec_id AS a, y.vec_id AS b,
+WITH buckets AS ({_emb_band_buckets_sql()}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+)
+SELECT cand.a, cand.b,
        (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
-FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+FROM cand
+JOIN embeddings ea ON cand.a = ea.vec_id
+JOIN embeddings eb ON cand.b = eb.vec_id
 WHERE (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) >= {threshold}"""
