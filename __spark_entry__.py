@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "competition_ring1": _q(lambda s: features.competition_ring(s, 1)),
         "competition_ring3": _q(lambda s: features.competition_ring(s, 3)),
         "competition_distance": _q(features.competition_distance),
+        "competition_distance_windowed": _q(features.competition_distance_windowed),
         "poi_ring1": _q(lambda s: features.poi_ring(s, 1)),
         "daytime_pop_ring1": _q(lambda s: features.daytime_population_ring(s, 1)),
         "school_ring2": _q(lambda s: features.school_ring(s, 2)),
@@ -178,6 +179,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "app_similar_locations": _q(lambda s: app_queries.similar_locations(s, 42)),
         "app_daypart_trade_area": _q(lambda s: app_queries.daypart_trade_area(s, 42)),
+        "app_whatif_cannibalization": _q(
+            lambda s: app_queries.whatif_cannibalization(s, 7)
+        ),
+        "app_confidence": _q(lambda s: app_queries.confidence_intervals(s, 42)),
+        "app_existing_stores": _q(lambda s: app_queries.existing_stores(s, "Chicago")),
+        "app_competitors_layer": _q(lambda s: app_queries.competitors_layer(s, "Chicago")),
+        "app_poi_layer": _q(lambda s: app_queries.poi_layer(s, "Chicago", "school")),
+        "app_heatmap_demand": _q(lambda s: app_queries.heatmap(s, "demand", "Chicago")),
+        "app_heatmap_traffic": _q(lambda s: app_queries.heatmap(s, "traffic", "Chicago")),
+        "app_compare_sites": _q(lambda s: app_queries.compare_sites(s, [1, 2, 42])),
+        "app_scoring_features": _q(lambda s: app_queries.scoring_features(s, 42)),
+        "one_hot_features": _q(encode.one_hot_features),
+        "model_feature_columns": _q(encode.model_feature_columns),
         "quality_gate": _q(_quality_gate_df),  # rows-only (report surface)
         "flagged_sites_latest": _q(_flagged_sites_demo),  # rows-only (write path)
         # --- grouped-map + multimodal kernels (Arrow; rows-only) ---
@@ -216,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "competition_ring1": features.competition_ring_oracle_sql(1),
         "competition_ring3": features.competition_ring_oracle_sql(3),
         "competition_distance": features.competition_distance_oracle_sql(),
+        "competition_distance_windowed": features.competition_distance_windowed_oracle_sql(),
         "poi_ring1": features.poi_ring_oracle_sql(1),
         "daytime_pop_ring1": features.daytime_population_ring_oracle_sql(1),
         "school_ring2": features.school_ring_oracle_sql(2),
@@ -273,5 +288,16 @@ def oracle_sql() -> dict[str, str]:
         "app_heatmap": app_queries.competition_heatmap_oracle_sql(41.5, 42.3, -88.0, -87.2),
         "app_similar_locations": app_queries.similar_locations_oracle_sql(42),
         "app_daypart_trade_area": app_queries.daypart_trade_area_oracle_sql(42),
+        "app_whatif_cannibalization": app_queries.whatif_cannibalization_oracle_sql(7),
+        "app_confidence": app_queries.confidence_intervals_oracle_sql(42),
+        "app_existing_stores": app_queries.existing_stores_oracle_sql("Chicago"),
+        "app_competitors_layer": app_queries.competitors_layer_oracle_sql("Chicago"),
+        "app_poi_layer": app_queries.poi_layer_oracle_sql("Chicago", "school"),
+        "app_heatmap_demand": app_queries.heatmap_oracle_sql("demand", "Chicago"),
+        "app_heatmap_traffic": app_queries.heatmap_oracle_sql("traffic", "Chicago"),
+        "app_compare_sites": app_queries.compare_sites_oracle_sql([1, 2, 42]),
+        "app_scoring_features": app_queries.scoring_features_oracle_sql(42),
+        "one_hot_features": encode.one_hot_features_oracle_sql(),
+        "model_feature_columns": encode.model_feature_columns_oracle_sql(),
         # quality_gate / flagged_sites_latest: report / write-path surfaces — rows-only
     }

@@ -276,10 +276,10 @@ SELECT p_partkey AS poi_id,
        {lat} AS lat,
        {lon} AS lon,
        CASE WHEN p_partkey % 7 = 0 THEN 'anchor' ELSE 'standard' END AS size_class,
-       CASE WHEN p_partkey % 5 = 0 THEN 'grocery'
-            WHEN p_partkey % 5 = 1 THEN 'retail'
-            WHEN p_partkey % 5 = 2 THEN 'gym'
-            WHEN p_partkey % 5 = 3 THEN 'school'
+       CASE WHEN p_partkey % 11 = 0 THEN 'grocery'
+            WHEN p_partkey % 11 IN (1, 6) THEN 'retail'
+            WHEN p_partkey % 11 IN (2, 7) THEN 'gym'
+            WHEN p_partkey % 11 IN (3, 8) THEN 'school'
             ELSE 'office' END AS category,
        (CAST((p_partkey * 17) % 997 AS DOUBLE) * 2.0) AS foot_traffic_index
 FROM {part}"""

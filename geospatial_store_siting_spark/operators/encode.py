@@ -59,6 +59,72 @@ SELECT sp.site_id, sp.metro,
 FROM sp LEFT JOIN med ON sp.metro = med.metro"""
 
 
+# deterministic categorical domains (reference one-hots metro AND
+# property_type via pd.get_dummies, `notebooks/11_train_model.py:64-67`)
+PROPERTY_TYPES = ["endcap", "freestanding", "inline"]
+
+
+def one_hot_features(spark: SparkSession) -> DataFrame:
+    """Deterministic one-hot encoding of BOTH categoricals (M1 complete):
+    metro + property_type, fixed column order, 0/1 double columns."""
+    sites = spark.table("sites")
+    metro_cols = [
+        F.when(F.col("metro") == name, 1.0).otherwise(0.0).alias(f"metro_{name.lower()}")
+        for name, _, _ in METROS
+    ]
+    prop_cols = [
+        F.when(F.col("property_type") == p, 1.0).otherwise(0.0).alias(f"property_{p}")
+        for p in PROPERTY_TYPES
+    ]
+    return sites.select("site_id", *metro_cols, *prop_cols, F.col("drive_thru"))
+
+
+def one_hot_features_oracle_sql() -> str:
+    metro_cols = ",\n       ".join(
+        f"CAST(CASE WHEN metro = '{name}' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS metro_{name.lower()}"
+        for name, _, _ in METROS
+    )
+    prop_cols = ",\n       ".join(
+        f"CAST(CASE WHEN property_type = '{p}' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS property_{p}"
+        for p in PROPERTY_TYPES
+    )
+    return f"""
+SELECT site_id,
+       {metro_cols},
+       {prop_cols},
+       drive_thru
+FROM ({hex_sql.sites_sql()}) __sites"""
+
+
+def model_feature_column_names() -> list[str]:
+    """THE persisted feature-order contract (reference saves
+    gold.model_feature_columns so serving applies the training column
+    order, `notebooks/11_train_model.py:404-408`): numeric features then
+    one-hot columns, fixed."""
+    from .ml import FEATURE_COLS
+
+    return (
+        list(FEATURE_COLS)
+        + [f"metro_{name.lower()}" for name, _, _ in METROS]
+        + [f"property_{p}" for p in PROPERTY_TYPES]
+    )
+
+
+def model_feature_columns(spark: SparkSession) -> DataFrame:
+    """gold.model_feature_columns: (feature_name, feature_index)."""
+    rows = [(name, i) for i, name in enumerate(model_feature_column_names())]
+    return spark.createDataFrame(rows, "feature_name string, feature_index int")
+
+
+def model_feature_columns_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{name}', {i})" for i, name in enumerate(model_feature_column_names())
+    )
+    return f"""
+SELECT feature_name, feature_index
+FROM (VALUES {vals}) AS __m(feature_name, feature_index)"""
+
+
 def one_hot_metro(spark: SparkSession) -> DataFrame:
     """Deterministic one-hot encoding of the metro categorical (M1):
     fixed column order from config, 0/1 double columns."""

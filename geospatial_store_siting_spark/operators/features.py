@@ -241,7 +241,11 @@ def competition_distance(
         "competitor_id",
         "category",
     )
-    pairs = sites.join(F.broadcast(comp), sites.metro == comp.c_metro, "inner")
+    # broadcast only while the dim is provably small; above the gate the
+    # blocked join shuffles both sides (and competition_distance_windowed
+    # is the stated replacement — cell-prefix candidates, no metro block)
+    comp = F.broadcast(comp) if _dim_small(comp) else comp
+    pairs = sites.join(comp, sites.metro == F.col("c_metro"), "inner")
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
     pairs = pairs.withColumn("dist_miles", d)
     in_radius = F.col("dist_miles") <= MILES
@@ -287,6 +291,120 @@ SELECT site_id,
                       ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS competitive_intensity,
        COUNT(DISTINCT CASE WHEN dist_miles <= {MILES} THEN competitor_id END)
            AS competitors_3mi
+FROM pairs
+GROUP BY site_id"""
+
+
+# Broadcast gate: force-broadcast the dim side of the blocked distance
+# joins only while it is provably small; above this, the plan must not
+# depend on shipping the whole competitor/store table to every executor.
+BROADCAST_DIM_LIMIT = 1_000_000
+_dim_count_cache: dict = {}
+
+
+def _dim_small(df: DataFrame, limit: int | None = None) -> bool:
+    if limit is None:
+        limit = BROADCAST_DIM_LIMIT  # read at call time (testable/tunable)
+    key = (id(df.sparkSession), df._jdf.queryExecution().logical().semanticHash())
+    if key not in _dim_count_cache:
+        _dim_count_cache[key] = df.count()
+    return _dim_count_cache[key] <= limit
+
+
+WINDOW_RING_K = 5  # res-7 ring radius for windowed distance features
+                   # (5 rings × ~1.7 km center spacing covers > 3 mi)
+
+
+def _coarse_ring_pairs(
+    spark: SparkSession, left: DataFrame, right: DataFrame, right_cols: list
+) -> DataFrame:
+    """Cell-prefix candidate generation (the 100-TB distance-join plan):
+    ring-K of the left side's coarse res-7 cell equi-joined to the right
+    side's coarse cell — a hash join on a high-cardinality uniform key.
+    No metro blocking, no broadcast of a full table."""
+    from .knn import COARSE_RES, _with_coarse_qr
+
+    l = _with_coarse_qr(left).withColumnRenamed("cq", "q").withColumnRenamed("cr", "r")
+    r = _with_coarse_qr(right, lat=right_cols[1], lon=right_cols[2]).select(
+        *right_cols,
+        rings.neighbor_cell_col(F.col("cq"), F.col("cr"), COARSE_RES).alias("r_coarse"),
+    )
+    ring = rings.ring_pairs(spark, l, WINDOW_RING_K, extra_cols=["lat", "lon"], res=COARSE_RES)
+    return ring.join(r, ring.neighbor_h3 == r.r_coarse, "inner")
+
+
+def competition_distance_windowed(spark: SparkSession) -> DataFrame:
+    """competition_distance without the full-table broadcast: candidates
+    from the coarse-cell ring window.  competitive_intensity and
+    competitors_3mi are EXACT (the window strictly contains the 3-mile
+    radius); the nearest-distance columns are window-bounded (NULL when no
+    competitor inside the window) — the documented at-scale contract, same
+    as operators/knn.py."""
+    comp = spark.table("competitors").select(
+        "competitor_id", "category",
+        F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"),
+    )
+    cand = _coarse_ring_pairs(
+        spark,
+        spark.table("sites").select("site_id", "lat", "lon"),
+        comp,
+        ["competitor_id", "c_lat", "c_lon", "category"],
+    )
+    d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
+    pairs = cand.withColumn("dist_miles", d)
+    in_radius = F.col("dist_miles") <= MILES
+    return pairs.groupBy("site_id").agg(
+        dround(F.min("dist_miles"), 4).alias("nearest_competitor_miles"),
+        dround(
+            F.min(F.when(F.col("category") == "QSR_Burger", F.col("dist_miles"))), 4
+        ).alias("nearest_same_category_dist"),
+        dround(
+            F.sum(
+                F.when(
+                    in_radius,
+                    1.0 / (F.col("dist_miles") * F.col("dist_miles") + F.lit(GRAVITY_EPS)),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("competitive_intensity"),
+        F.countDistinct(F.when(in_radius, F.col("competitor_id"))).alias("competitors_3mi"),
+    )
+
+
+def competition_distance_windowed_oracle_sql() -> str:
+    from .knn import COARSE_RES, _coarse_encode_subquery
+
+    sites_enc = _coarse_encode_subquery(
+        f"SELECT site_id, lat, lon FROM ({hex_sql.sites_sql()}) __s",
+        keep=["site_id", "lat", "lon"],
+    )
+    comp_enc = _coarse_encode_subquery(
+        f"SELECT competitor_id, category, lat AS c_lat, lon AS c_lon, lat, lon "
+        f"FROM ({hex_sql.competitors_sql()}) __c",
+        keep=["competitor_id", "category", "c_lat", "c_lon"],
+    )
+    ring = rings.ring_pairs_oracle_sql(
+        f"SELECT site_id, lat, lon, cq AS q, cr AS r FROM ({sites_enc}) __se",
+        WINDOW_RING_K,
+        extra_cols=["lat", "lon"],
+        res=COARSE_RES,
+    )
+    hav = hex_sql.haversine_miles_sql("rg.lat", "rg.lon", "co.c_lat", "co.c_lon")
+    return f"""
+WITH comp AS (SELECT competitor_id, category, c_lat, c_lon, coarse_cell FROM ({comp_enc}) __ce),
+ring AS ({ring}),
+pairs AS (
+  SELECT rg.site_id, co.competitor_id, co.category, {hav} AS dist_miles
+  FROM ring rg JOIN comp co ON rg.neighbor_h3 = co.coarse_cell
+)
+SELECT site_id,
+       (FLOOR((MIN(dist_miles)) * 10000.0 + 0.5) / 10000.0) AS nearest_competitor_miles,
+       (FLOOR((MIN(CASE WHEN category = 'QSR_Burger' THEN dist_miles END)) * 10000.0 + 0.5) / 10000.0)
+           AS nearest_same_category_dist,
+       (FLOOR((SUM(CASE WHEN dist_miles <= {MILES}
+                      THEN 1.0 / (dist_miles * dist_miles + {GRAVITY_EPS})
+                      ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS competitive_intensity,
+       COUNT(DISTINCT CASE WHEN dist_miles <= {MILES} THEN competitor_id END) AS competitors_3mi
 FROM pairs
 GROUP BY site_id"""
 
@@ -436,7 +554,8 @@ def cannibalization(
             F.col("lon").alias("s_lon"),
         )
     )
-    pairs = sites.join(F.broadcast(stores), sites.metro == stores.s_metro, "inner").filter(
+    stores = F.broadcast(stores) if _dim_small(stores) else stores
+    pairs = sites.join(stores, sites.metro == F.col("s_metro"), "inner").filter(
         F.col("site_id") != F.col("store_id")
     )
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))

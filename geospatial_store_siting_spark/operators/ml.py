@@ -31,16 +31,34 @@ from pyspark.sql import functions as F
 from ..config import HUFF_BETA_GRID, MODEL_MAPE_GATE, MODEL_R2_GATE
 from ..functions.exprs import dround
 
+# full NUMERIC_FEATURES analog (reference `_config.py:95-124`)
 FEATURE_COLS = [
     "population_1ring",
     "median_income_1ring",
     "target_demo_pct_1ring",
+    "daytime_pop_1ring",
+    "college_pct_1ring",
     "max_pedestrian_traffic",
+    "avg_transit_score",
+    "foot_traffic_sum",
     "competitors_1ring",
+    "competitors_3ring",
+    "nearest_competitor_miles",
+    "nearest_same_category_dist",
     "competitive_intensity",
     "anchor_poi_1ring",
-    "cannibalization_risk",
+    "office_poi_count_1ring",
+    "school_count_2ring",
+    "total_foot_traffic_1ring",
     "drive_thru",
+    "parking_spaces",
+    "square_feet",
+    "rent_per_sqft",
+    "trade_area_quality",
+    "cannibalization_risk",
+    "market_saturation",
+    "huff_market_share",
+    "huff_expected_demand",
 ]
 
 

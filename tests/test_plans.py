@@ -79,3 +79,24 @@ def test_gold_feature_contract_complete(geo):
     cols = set(features.location_features(geo).columns)
     missing = contract - cols
     assert not missing, f"gold contract columns missing: {sorted(missing)}"
+
+
+def test_distance_broadcast_is_size_gated(geo, monkeypatch):
+    """Above the gate, the blocked distance join must not force-broadcast
+    the competitor table; the windowed variant never broadcasts a table
+    (its only broadcast is the literal ring-offsets dimension)."""
+    from geospatial_store_siting_spark.operators import features as feats_mod
+
+    monkeypatch.setattr(feats_mod, "BROADCAST_DIM_LIMIT", 0)
+    feats_mod._dim_count_cache.clear()
+    gated = feats_mod.competition_distance(geo)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().logical().toString()
+    monkeypatch.undo()
+    feats_mod._dim_count_cache.clear()
+
+    windowed = feats_mod.competition_distance_windowed(geo)
+    plan = _plan(windowed)
+    # candidate generation is a hash join on the coarse cell, not a
+    # broadcast of the competitor table
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert windowed.count() > 0
