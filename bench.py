@@ -45,6 +45,18 @@ def _minhash(s):
     return dedup.minhash_lsh_pairs(s)
 
 
+def _simhash(s):
+    from geospatial_store_siting_spark.operators import dedup
+
+    return dedup.simhash(s)
+
+
+def _dev_ring(s):
+    from geospatial_store_siting_spark.operators import dev_signals
+
+    return dev_signals.dev_signal_ring(s, 1)
+
+
 BENCH_QUERIES = {
     # headline metric (BASELINE.md §2): hex-feature-join + candidate scoring
     "hex_feature_join": features.location_features,
@@ -53,9 +65,12 @@ BENCH_QUERIES = {
     "huff_features": huff.huff_features,
     "demographics_ring2": lambda s: features.demographics_ring(s, 2),
     "competition_distance": features.competition_distance,
+    "competition_distance_windowed": features.competition_distance_windowed,
     "knn_competitors": _knn,
     "doc_span_cells": _spans,
     "dedup_minhash_lsh": _minhash,
+    "dedup_simhash": _simhash,
+    "dev_signal_ring1": _dev_ring,
 }
 
 

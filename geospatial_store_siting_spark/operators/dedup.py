@@ -42,7 +42,9 @@ def shingles(spark: SparkSession) -> DataFrame:
     re-scan the full text 3×MAX_SHINGLES times per doc (O(len·shingles)),
     the dominant cost of the minhash plan at corpus scale.  The oracle
     keeps split_part (identical output; DuckDB run is small)."""
-    docs = spark.table("documents")
+    # repartition first: the raw scan may be one row-group (one task) and
+    # the explode pipeline below is the dominant map work
+    docs = spark.table("documents").repartition("doc_id")
     n_tokens = F.expr(token_count_sql("text"))
     pos = docs.select(
         "doc_id",
@@ -344,16 +346,23 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM acc"""
 def simhash(spark: SparkSession) -> DataFrame:
     """60-bit SimHash over word tokens, entirely JVM-side: token explode →
     md5 → nibble decode → per-bit signed sums → signature.  One shuffle
-    (the per-doc agg); linear in corpus size; no UDF."""
-    tk = token_count_sql("text")
+    (the per-doc agg); linear in corpus size; no UDF.
+
+    Tokens come from ONE split per doc (explode of a slice) — the oracle
+    uses split_part positions, which produce the same ≤CAP tokens on the
+    single-space-separated corpus but would rescan the text per position
+    on the Spark side."""
+    # REPARTITION before the heavy map work: the documents scan is often a
+    # single parquet row-group (one task), which would serialize the
+    # explode+md5+60-sum pipeline on one core.
     sql = f"""
 WITH tok AS (
-  SELECT doc_id, md5(split_part(text, ' ', i)) AS h
+  SELECT doc_id, md5(tok) AS h
   FROM (
-    SELECT doc_id, text, explode(sequence(1, {SIMHASH_TOKEN_CAP})) AS i
+    SELECT /*+ REPARTITION(doc_id) */ doc_id,
+           explode(slice(split(text, ' '), 1, {SIMHASH_TOKEN_CAP})) AS tok
     FROM documents
   ) __pos
-  WHERE i <= {tk}
 ),
 {_simhash_tail_sql()}"""
     return spark.sql(sql)
