@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
         "huff_beta_calibration": _q(ml.calibrate_huff_beta),
         "ml_predictions": _q(ml.model_predictions),
+        "ml_feature_importance": _q(ml.feature_importance),
         "media_feature_summary": _q(multimodal.media_feature_summary),
         # --- imputation / encoding / windows (J14, M1, W1) ---
         "median_imputation": _q(encode.median_imputation),

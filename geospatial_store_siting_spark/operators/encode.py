@@ -192,6 +192,9 @@ def feature_summary(spark: SparkSession) -> DataFrame:
             F.count(c).alias(f"{c}__count"),
             dround(F.avg(c), 4).alias(f"{c}__mean"),
             dround(F.min(c), 4).alias(f"{c}__min"),
+            dround(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"{c}__p25"),
+            dround(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"{c}__p50"),
+            dround(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"{c}__p75"),
             dround(F.max(c), 4).alias(f"{c}__max"),
         ]
     return feats.agg(*aggs)
@@ -207,6 +210,9 @@ def feature_summary_oracle_sql() -> str:
             f"COUNT({c}) AS {c}__count",
             f"(FLOOR((AVG({c})) * 10000.0 + 0.5) / 10000.0) AS {c}__mean",
             f"(FLOOR((MIN({c})) * 10000.0 + 0.5) / 10000.0) AS {c}__min",
+            f"(FLOOR((QUANTILE_CONT({c}, 0.25)) * 10000.0 + 0.5) / 10000.0) AS {c}__p25",
+            f"(FLOOR((QUANTILE_CONT({c}, 0.5)) * 10000.0 + 0.5) / 10000.0) AS {c}__p50",
+            f"(FLOOR((QUANTILE_CONT({c}, 0.75)) * 10000.0 + 0.5) / 10000.0) AS {c}__p75",
             f"(FLOOR((MAX({c})) * 10000.0 + 0.5) / 10000.0) AS {c}__max",
         ]
     sel = ",\n       ".join(parts)

@@ -187,3 +187,13 @@ def calibrate_huff_beta(spark: SparkSession) -> DataFrame:
     return per_beta.withColumn("rank", F.row_number().over(w)).withColumn(
         "is_best", F.col("rank") == 1
     ).drop("rank")
+
+
+def feature_importance(spark: SparkSession) -> DataFrame:
+    """The app's feature-importance endpoint (`app/main.py:267-280`):
+    GBT importances ranked (rows-only — tree ensembles aren't
+    SQL-expressible)."""
+    _, metrics = train_sales_model(spark)
+    ranked = sorted(metrics["feature_importances"].items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = [(name, float(imp), i + 1) for i, (name, imp) in enumerate(ranked)]
+    return spark.createDataFrame(rows, "feature_name string, importance double, rank int")
