@@ -673,6 +673,60 @@ def _demographics_traffic_ring(spark: SparkSession, k: int = 1) -> DataFrame:
     )
 
 
+def _competition_rings(spark: SparkSession) -> DataFrame:
+    """competition_ring(1) + competition_ring(3) in ONE ring-3 pass: the
+    ring-1 counts are conditional aggregates over ring_k <= 1 (ring-1
+    offsets ⊂ ring-3 offsets, so the conditional set is identical to the
+    standalone ring-1 join).  Assembly-only fusion — the public
+    per-family operators stay separate for the query surface."""
+    sites = spark.table("sites")
+    comp = spark.table("competitors").select(
+        F.col("h3_res8").alias("c_cell"), "competitor_id", "category"
+    )
+    pairs = rings.ring_pairs(spark, sites, 3, with_ring=True)
+    joined = pairs.join(comp, pairs.neighbor_h3 == comp.c_cell, "left")
+    in1 = F.col("ring_k") <= 1
+    return joined.groupBy("site_id").agg(
+        F.countDistinct(F.when(in1, F.col("competitor_id"))).alias("competitors_1ring"),
+        F.countDistinct(
+            F.when(in1 & (F.col("category") == "QSR_Burger"), F.col("competitor_id"))
+        ).alias("burger_competitors_1ring"),
+        F.countDistinct(
+            F.when(in1 & (F.col("category") == "Coffee"), F.col("competitor_id"))
+        ).alias("coffee_competitors_1ring"),
+        F.countDistinct("competitor_id").alias("competitors_3ring"),
+    )
+
+
+def _poi_school_ring(spark: SparkSession) -> DataFrame:
+    """poi_ring(1) + school_ring(2) in ONE ring-2 pass (same conditional
+    trick as _competition_rings)."""
+    sites = spark.table("sites")
+    poi = spark.table("poi").select(
+        F.col("h3_res8").alias("p_cell"), "poi_id", "size_class", "category",
+        "foot_traffic_index",
+    )
+    pairs = rings.ring_pairs(spark, sites, 2, with_ring=True)
+    joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
+    in1 = F.col("ring_k") <= 1
+    return joined.groupBy("site_id").agg(
+        F.countDistinct(F.when(in1, F.col("poi_id"))).alias("poi_1ring"),
+        F.countDistinct(
+            F.when(in1 & (F.col("size_class") == "anchor"), F.col("poi_id"))
+        ).alias("anchor_poi_1ring"),
+        F.countDistinct(
+            F.when(in1 & (F.col("category") == "office"), F.col("poi_id"))
+        ).alias("office_poi_count_1ring"),
+        dround(
+            F.sum(F.when(in1, F.coalesce(F.col("foot_traffic_index"), F.lit(0.0))).otherwise(0.0)),
+            4,
+        ).alias("total_foot_traffic_1ring"),
+        F.countDistinct(
+            F.when(F.col("category") == "school", F.col("poi_id"))
+        ).alias("school_count_2ring"),
+    )
+
+
 def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFrame:
     """gold.location_features: the FULL reference NUMERIC_FEATURES contract
     (`notebooks/_config.py:95-124`): demographic (incl. daytime pop),
@@ -695,15 +749,12 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
     base = spark.table("sites").select(
         "site_id", "metro", "site_type", "drive_thru", "h3_res8"
     ).repartition("site_id")
-    comp3 = competition_ring(spark, 3).select("site_id", "competitors_3ring")
     huff = huff_features(spark).withColumnRenamed("huff_demand", "huff_expected_demand")
     out = (
         base.join(_demographics_traffic_ring(spark, 1), "site_id", "left")
-        .join(competition_ring(spark, 1), "site_id", "left")
-        .join(comp3, "site_id", "left")
+        .join(_competition_rings(spark), "site_id", "left")
         .join(competition_distance(spark), "site_id", "left")
-        .join(poi_ring(spark, 1), "site_id", "left")
-        .join(school_ring(spark, 2), "site_id", "left")
+        .join(_poi_school_ring(spark), "site_id", "left")
         .join(property_features(spark), "site_id", "left")
         .join(cannibalization(spark), "site_id", "left")
         .join(huff, "site_id", "left")

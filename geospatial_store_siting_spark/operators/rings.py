@@ -35,6 +35,11 @@ def neighbor_cell_col(q, r, res: int = 8):
     )
 
 
+def hex_distance(dq: int, dr: int) -> int:
+    """Hex grid distance of an axial offset."""
+    return (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+
+
 def ring_pairs(
     spark: SparkSession,
     points: DataFrame,
@@ -42,6 +47,7 @@ def ring_pairs(
     id_col: str = "site_id",
     res: int = 8,
     extra_cols: list[str] | None = None,
+    with_ring: bool = False,
 ) -> DataFrame:
     """(id, neighbor_h3) pair table for the k-disk around each point.
 
@@ -57,16 +63,22 @@ def ring_pairs(
     cols = [id_col, *(extra_cols or [])]
     offs_array = F.array(
         *[
-            F.struct(F.lit(int(dq)).alias("dq"), F.lit(int(dr)).alias("dr"))
+            F.struct(
+                F.lit(int(dq)).alias("dq"),
+                F.lit(int(dr)).alias("dr"),
+                F.lit(hex_distance(dq, dr)).alias("ring_k"),
+            )
             for dq, dr in hex_sql.ring_offsets(k)
         ]
     )
     exploded = points.select(*cols, "q", "r", F.explode(offs_array).alias("o"))
+    ring_extra = [F.col("o.ring_k").alias("ring_k")] if with_ring else []
     return exploded.select(
         *cols,
         neighbor_cell_col(
             F.col("q") + F.col("o.dq"), F.col("r") + F.col("o.dr"), res
         ).alias("neighbor_h3"),
+        *ring_extra,
     )
 
 
