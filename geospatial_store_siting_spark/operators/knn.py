@@ -35,9 +35,12 @@ COARSE_RES = 7
 COARSE_RING_K = 3
 
 
-def _with_coarse_qr(df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
-    """Attach res-7 axial coords via the shared closed-form encoder."""
-    qf, rf = hex_sql.frac_axial_sql(lat, lon, COARSE_RES)
+def _with_coarse_qr(
+    df: DataFrame, lat: str = "lat", lon: str = "lon", res: int = COARSE_RES
+) -> DataFrame:
+    """Attach axial coords (cq, cr) at ``res`` via the shared closed-form
+    encoder, as pure Column expressions (streaming-safe: no temp views)."""
+    qf, rf = hex_sql.frac_axial_sql(lat, lon, res)
     # inline cube-round (same formulation as encode_select_sql, expression form)
     df = df.withColumn("__xf", F.expr(qf)).withColumn("__zf", F.expr(rf))
     df = df.withColumn("__yf", -F.col("__xf") - F.col("__zf"))

@@ -139,3 +139,88 @@ def run_to_memory(stream_df: DataFrame, name: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the geotagged-span → tile-rollup pipeline stage
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = "doc_id bigint, text string, n_chars int, lang_hint string"
+
+
+def documents_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """The documents table as a bounded 4-file stream (same staging trick
+    as events_stream; order doesn't matter here — the rollup is not
+    event-time windowed)."""
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    stage_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/.snapshots"),
+        f"stream_documents_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(src)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(stage_dir)
+        )
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage_dir)
+    )
+
+
+def doc_cells_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of sources.documents.doc_cells: span explode →
+    geo-span parse → hex encode → per-cell doc/span counts.
+
+    The extraction is STATELESS (generator + expressions — streamable
+    map-only), the rollup a streaming aggregation; encoding uses the
+    expression-form codec (knn._with_coarse_qr at res 8) because temp-view
+    SQL isn't available on streaming frames.  countDistinct isn't
+    supported in streaming aggs — approx_count_distinct stands in for
+    n_docs (exact n_spans is compared in the equivalence test)."""
+    from ..functions import hex_sql
+    from ..operators import rings
+    from ..operators.knn import _with_coarse_qr
+    from ..sources.documents import MAX_SPANS, span_fields_sql
+
+    f = span_fields_sql("doc_id", "i", "text")
+    spans = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(MAX_SPANS - 1))).alias("i"),
+        )
+        .filter(F.col("i") < 4 + F.col("doc_id") % 5)
+        .select(
+            "doc_id",
+            F.col("i").alias("span_offset"),
+            F.expr(f["kind"]).alias("kind"),
+            F.expr(f["text"]).alias("text"),
+        )
+        .filter(F.col("kind") == "geo")
+        .select(
+            "doc_id",
+            "span_offset",
+            F.expr("CAST(split_part(text, ',', 1) AS DOUBLE)").alias("lat"),
+            F.expr("CAST(split_part(text, ',', 2) AS DOUBLE)").alias("lon"),
+        )
+    )
+    enc = _with_coarse_qr(spans, res=8)
+    enc = enc.select(
+        "doc_id", "lat", "lon",
+        rings.neighbor_cell_col(F.col("cq"), F.col("cr"), 8).alias("hex_id"),
+    )
+    metro = hex_sql.nearest_metro_case_sql("lat", "lon")
+    return (
+        enc.select("doc_id", "hex_id", F.expr(metro).alias("metro"))
+        .groupBy("hex_id", "metro")
+        .agg(
+            F.approx_count_distinct("doc_id").alias("approx_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )

@@ -79,3 +79,31 @@ def test_stateful_running_totals(geo):
     assert len(out) == len(batch)
     joined = out.to_frame("stream").join(batch.to_frame("batch"))
     assert (joined["stream"] == joined["batch"]).all()
+
+
+def test_doc_cells_stream_equals_batch(geo):
+    """The streaming geotagged-span→tile rollup converges to the batch
+    doc_cells result (cells, metros, exact span counts)."""
+    from geospatial_store_siting_spark.sources import documents
+
+    docs = stream_jobs.documents_stream(geo, SF_DIR)
+    cells = stream_jobs.doc_cells_stream(docs)
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("doc_cells_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = geo.sql(
+        "SELECT hex_id, metro, n_spans FROM doc_cells_out"
+    ).toPandas().sort_values(["hex_id", "metro"]).reset_index(drop=True)
+    batch = (
+        documents.doc_cells(geo)
+        .select("hex_id", "metro", "n_spans")
+        .toPandas()
+        .sort_values(["hex_id", "metro"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(batch)
