@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (ANN) ---
         "ann_brute_force_topk": _q(similarity.brute_force_topk),
         "ann_lsh_topk": _q(similarity.ann_topk),
+        "ann_ivf_topk": _q(similarity.ivf_topk),
         "embedding_label_centroids": _q(similarity.label_centroid_distances),
         # --- events / time series (streaming twins) ---
         "events_tumbling": _q(events_ops.tumbling_counts),
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_oracle_sql(),
         "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
         "ann_lsh_topk": similarity.ann_topk_oracle_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),
         "embedding_label_centroids": similarity.label_centroid_distances_oracle_sql(),
         "events_tumbling": events_ops.tumbling_counts_oracle_sql(),
         "events_sessionize": events_ops.sessionize_oracle_sql(),

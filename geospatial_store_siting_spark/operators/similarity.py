@@ -211,3 +211,124 @@ SELECT label,
        (FLOOR(SQRT(SUM(mean_v * mean_v)) * 1000000.0 + 0.5) / 1000000.0) AS centroid_norm,
        COUNT(*) AS n_dims
 FROM per_dim GROUP BY label"""
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index): coarse quantizer → probed lists → re-rank
+# ---------------------------------------------------------------------------
+
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 2  # lists probed per query
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """Deterministic unit-norm centroids (closed-form, engine-independent —
+    real IVF trains them with k-means; correctness of the operator doesn't
+    depend on centroid quality, recall does)."""
+    import math
+
+    out = []
+    for j in range(IVF_K):
+        raw = [float(_plane_coef(j + 100, i)) for i in range(DIM)]
+        norm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        out.append([x / norm for x in raw])
+    return out
+
+
+def _ivf_assignments(spark: SparkSession) -> DataFrame:
+    """(vec_id, cid, crank): centroid ranking per vector by dot product
+    (descending, cid tiebreak) — rank 1 is the vector's list, ranks ≤
+    nprobe are the query's probe set.  The centroid table is a literal
+    struct array explode (generator — no join, no shuffle)."""
+    cents = _ivf_centroids()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cid"),
+                F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+            )
+            for j, vec in enumerate(cents)
+        ]
+    )
+    emb = spark.table("embeddings")
+    pairs = emb.select("vec_id", "embedding", F.explode(cent_arr).alias("c"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("c.cvec"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    return (
+        pairs.select("vec_id", F.col("c.cid").alias("cid"), dot.alias("cdot"))
+        .withColumn("crank", F.row_number().over(w))
+    )
+
+
+def ivf_topk(spark: SparkSession, k: int = 3) -> DataFrame:
+    """IVF search: each corpus vector lives in its nearest-centroid list;
+    each query probes its IVF_NPROBE nearest lists; exact cosine re-rank
+    inside the probed lists.  The candidate join is an equi-join on the
+    list id (shuffle on a 16-ary key at this K; production K ~ √N keeps
+    lists balanced and the join key high-cardinality)."""
+    assign = _ivf_assignments(spark)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    lists = assign.filter(F.col("crank") == 1).select("vec_id", "cid")
+    probes = assign.filter(
+        (F.col("crank") <= IVF_NPROBE) & (F.col("vec_id") % QUERY_MOD == 0)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    qs = probes.join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
+        "query_id",
+    )
+    cs = lists.join(emb, "vec_id").select(
+        F.col("vec_id").alias("corpus_id"), "cid", F.col("embedding").alias("c_emb")
+    )
+    pairs = qs.join(cs, "cid").filter(F.col("query_id") != F.col("corpus_id"))
+    cos = _dot_cols("q_emb", "c_emb") / (_norm_col("q_emb") * _norm_col("c_emb"))
+    scored = pairs.select(
+        "query_id", "corpus_id", dround(cos, 6).alias("cosine")
+    ).distinct()  # a pair probed via 2 lists appears once
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(k: int = 3) -> str:
+    cents = _ivf_centroids()
+    cent_rows = ", ".join(
+        f"({j}, [{', '.join(repr(v) for v in vec)}])" for j, vec in enumerate(cents)
+    )
+    cdot = " + ".join(
+        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) * c.cvec[{i + 1}])" for i in range(DIM)
+    )
+    cos = f"({_dot_sql('q.q_emb', 'cs.c_emb')}) / ({_norm_sql('q.q_emb')} * {_norm_sql('cs.c_emb')})"
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) AS __c(cid, cvec)),
+assign AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ({cdot}) DESC, cid ASC) AS crank
+  FROM embeddings e CROSS JOIN cent c
+),
+lists AS (SELECT vec_id, cid FROM assign WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM assign
+           WHERE crank <= {IVF_NPROBE} AND vec_id % {QUERY_MOD} = 0),
+qs AS (SELECT p.query_id, p.cid, e.embedding AS q_emb
+       FROM probes p JOIN embeddings e ON p.query_id = e.vec_id),
+cs AS (SELECT l.vec_id AS corpus_id, l.cid, e.embedding AS c_emb
+       FROM lists l JOIN embeddings e ON l.vec_id = e.vec_id),
+scored AS (
+  SELECT DISTINCT q.query_id, cs.corpus_id,
+         (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+  FROM qs q JOIN cs ON q.cid = cs.cid
+  WHERE q.query_id <> cs.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+) __r WHERE rank <= {k}"""

@@ -52,11 +52,17 @@ class Stage:
 
 def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     """Execute the DAG with checkpoint/resume; returns the run report."""
-    from ..operators import features, huff, scoring
+    from ..operators import dev_signals, features, huff, scoring
 
     tables.load_all(spark, sf_dir)
 
     stages = [
+        Stage(
+            "dev_signals_by_h3",
+            dev_signals.dev_signals_by_h3,
+            ["zips", "zillow_home_values", "zillow_rental_index",
+             "zcta_county_rel", "building_permits_county"],
+        ),
         Stage("location_features", features.location_features, ["sites", "hex_grid", "competitors", "poi"]),
         Stage("huff_features", huff.huff_features, ["sites", "hex_grid", "competitors"]),
         # consumes the COMMITTED feature snapshot (registered as a view by

@@ -19,6 +19,7 @@ def test_pipeline_runs_and_resumes(geo, tmp_path_factory):
     try:
         report1 = pl.run_pipeline(geo, SF_DIR)
         assert [s["stage"] for s in report1["stages"]] == [
+            "dev_signals_by_h3",
             "location_features",
             "huff_features",
             "scored_locations",
