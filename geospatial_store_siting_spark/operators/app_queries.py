@@ -490,12 +490,13 @@ def confidence_intervals(spark: SparkSession, site_id: int) -> DataFrame:
         return r * r  # x*x, not POWER: pow may route through exp/ln libm
 
     d2 = sum(_term(c) for c in CI_FEATURES)
-    ranked = stores.select(
-        "site_id", "annual_sales", d2.alias("d2")
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.asc("d2"), F.asc("site_id"))),
-    ).filter(F.col("rn") <= CI_TOP_K)
+    # top-K via orderBy+limit → TakeOrderedAndProject (distributed top-k;
+    # a global row_number window would single-partition the sort)
+    ranked = (
+        stores.select("site_id", "annual_sales", d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("site_id"))
+        .limit(CI_TOP_K)
+    )
     return ranked.agg(
         dround(F.expr("percentile(annual_sales, 0.10)"), 4).alias("p10"),
         dround(F.expr("percentile(annual_sales, 0.25)"), 4).alias("p25"),
@@ -521,12 +522,13 @@ WITH feats AS ({location_features_oracle_sql()}),
 cand AS (SELECT {c_cols} FROM feats WHERE site_id = {site_id}),
 sites_t AS ({hex_sql.sites_sql()}),
 ranked AS (
-  SELECT s.site_id, st.annual_sales,
-         ROW_NUMBER() OVER (ORDER BY ({d2}) ASC, s.site_id ASC) AS rn
+  SELECT s.site_id, st.annual_sales
   FROM feats s
   JOIN sites_t st ON s.site_id = st.site_id
   CROSS JOIN cand c
   WHERE s.site_type = 'store'
+  ORDER BY ({d2}) ASC, s.site_id ASC
+  LIMIT {CI_TOP_K}
 )
 SELECT (FLOOR(QUANTILE_CONT(annual_sales, 0.10) * 10000.0 + 0.5) / 10000.0) AS p10,
        (FLOOR(QUANTILE_CONT(annual_sales, 0.25) * 10000.0 + 0.5) / 10000.0) AS p25,
@@ -534,7 +536,7 @@ SELECT (FLOOR(QUANTILE_CONT(annual_sales, 0.10) * 10000.0 + 0.5) / 10000.0) AS p
        (FLOOR(QUANTILE_CONT(annual_sales, 0.75) * 10000.0 + 0.5) / 10000.0) AS p75,
        (FLOOR(QUANTILE_CONT(annual_sales, 0.90) * 10000.0 + 0.5) / 10000.0) AS p90,
        COUNT(*) AS sample_size
-FROM ranked WHERE rn <= {CI_TOP_K}"""
+FROM ranked"""
 
 
 # ---------------------------------------------------------------------------
