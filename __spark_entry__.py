@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- hex feature engineering (SURVEY §2.3 J1-J9, §2.4) ---
         "hex_feature_join": _q(features.location_features),
+        "hex_feature_join_dev": _q(lambda s: features.location_features(s, dev_signals=True)),
         "demographics_ring1": _q(lambda s: features.demographics_ring(s, 1)),
         "demographics_ring2": _q(lambda s: features.demographics_ring(s, 2)),
         "traffic_ring1": _q(lambda s: features.traffic_ring(s, 1)),
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q(text_ops.fingerprint),
         # --- deduplication ---
         "dedup_exact": _q(dedup.exact_dedup),
+        "dedup_keep_documents": _q(dedup.dedup_keep_documents),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs),
         "dedup_simhash": _q(dedup.simhash),
@@ -226,6 +228,7 @@ def _media_frames(spark: SparkSession) -> DataFrame:
 def oracle_sql() -> dict[str, str]:
     return {
         "hex_feature_join": features.location_features_oracle_sql(),
+        "hex_feature_join_dev": features.location_features_dev_oracle_sql(),
         "demographics_ring1": features.demographics_ring_oracle_sql(1),
         "demographics_ring2": features.demographics_ring_oracle_sql(2),
         "traffic_ring1": features.traffic_ring_oracle_sql(1),
@@ -252,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": text_ops.quality_score_oracle_sql(),
         "doc_fingerprint": text_ops.fingerprint_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_oracle_sql(),
+        "dedup_keep_documents": dedup.dedup_keep_documents_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle_sql(),
         "dedup_simhash": dedup.simhash_oracle_sql(),

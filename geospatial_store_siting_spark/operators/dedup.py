@@ -480,3 +480,27 @@ FROM cand
 JOIN embeddings ea ON cand.a = ea.vec_id
 JOIN embeddings eb ON cand.b = eb.vec_id
 WHERE (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup application: the kept (canonical) corpus
+# ---------------------------------------------------------------------------
+
+def dedup_keep_documents(spark: SparkSession) -> DataFrame:
+    """The corpus AFTER exact dedup: one canonical doc per fingerprint
+    group (the materialization step a training pipeline runs after the
+    pair-finding passes) — a semi join of documents against the canonical
+    id set."""
+    keep = exact_dedup(spark).select(F.col("canonical_doc").alias("doc_id"))
+    docs = spark.table("documents")
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars", "lang")
+
+
+def dedup_keep_documents_oracle_sql() -> str:
+    return f"""
+SELECT doc_id, n_chars, lang
+FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM ({exact_dedup_oracle_sql()}) __k
+  WHERE __k.canonical_doc = d.doc_id
+)"""

@@ -759,13 +759,17 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
         .join(cannibalization(spark), "site_id", "left")
         .join(huff, "site_id", "left")
     )
+    dev_cols: list[str] = []
     if dev_signals:
         # optional Phase-3 module (reference DEV_SIGNALS_ENABLED gate,
-        # `notebooks/10_feature_engineering.py:703-745`)
+        # `notebooks/10_feature_engineering.py:703-745`); when enabled the
+        # dev columns join NUMERIC_FEATURES and get the same null-fill
         from .dev_signals import dev_signal_ring
 
-        out = out.join(dev_signal_ring(spark, 1), "site_id", "left")
-    for c in FILL_ZERO:
+        ring = dev_signal_ring(spark, 1)
+        dev_cols = [c for c in ring.columns if c != "site_id"]
+        out = out.join(ring, "site_id", "left")
+    for c in FILL_ZERO + dev_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     # derived features — the reference formulas (L791-803)
     out = out.withColumn(
@@ -863,3 +867,30 @@ LEFT JOIN school sc ON b.site_id = sc.site_id
 LEFT JOIN prop pr ON b.site_id = pr.site_id
 LEFT JOIN cannib cb ON b.site_id = cb.site_id
 LEFT JOIN hufff hf ON b.site_id = hf.site_id"""
+
+
+def location_features_dev_oracle_sql() -> str:
+    """Oracle for the dev-signals-enabled assembly: the base gold table
+    left-joined with the 8 DEV_SIGNAL ring means, null-filled like every
+    other numeric feature."""
+    from .dev_signals import dev_signal_ring_oracle_sql
+
+    dev_names = [
+        "avg_home_value_1ring",
+        "avg_home_value_growth_1yr_1ring",
+        "avg_rent_index_1ring",
+        "avg_rent_growth_1yr_1ring",
+        "avg_permit_momentum_1ring",
+        "avg_multifamily_pipeline_1ring",
+        "avg_commercial_starts_1ring",
+        "avg_infra_investment_1ring",
+    ]
+    dev_cols = ",\n       ".join(
+        f"COALESCE(dv.{c}, 0.0) AS {c}" for c in dev_names
+    )
+    return f"""
+WITH goldbase AS ({location_features_oracle_sql()}),
+devring AS ({dev_signal_ring_oracle_sql(1)})
+SELECT g.*,
+       {dev_cols}
+FROM goldbase g LEFT JOIN devring dv ON g.site_id = dv.site_id"""

@@ -145,9 +145,6 @@ def run_to_memory(stream_df: DataFrame, name: str):
 # Streaming twin of the geotagged-span → tile-rollup pipeline stage
 # ---------------------------------------------------------------------------
 
-DOCUMENTS_SCHEMA = "doc_id bigint, text string, n_chars int, lang_hint string"
-
-
 def documents_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
     """The documents table as a bounded 4-file stream (same staging trick
     as events_stream; order doesn't matter here — the rollup is not
