@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q(text_ops.lang_id),
         "quality_score": _q(text_ops.quality_score),
         "doc_fingerprint": _q(text_ops.fingerprint),
+        "doc_rolling_fingerprint": _q(text_ops.rolling_fingerprint),
         # --- deduplication ---
         "dedup_exact": _q(dedup.exact_dedup),
         "dedup_keep_documents": _q(dedup.dedup_keep_documents),
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_ops.lang_id_oracle_sql(),
         "quality_score": text_ops.quality_score_oracle_sql(),
         "doc_fingerprint": text_ops.fingerprint_oracle_sql(),
+        "doc_rolling_fingerprint": text_ops.rolling_fingerprint_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_oracle_sql(),
         "dedup_keep_documents": dedup.dedup_keep_documents_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),

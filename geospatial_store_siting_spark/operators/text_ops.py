@@ -161,3 +161,78 @@ def fingerprint_oracle_sql() -> str:
     return """
 SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS fp
 FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (order-sensitive, Rabin-Karp style)
+# ---------------------------------------------------------------------------
+
+ROLL_B = 1000003       # polynomial base (prime)
+ROLL_P = 2147483629    # modulus (prime < 2^31 so products stay < 2^62)
+ROLL_CAP = 64          # token cap (bounded per-doc work, like MAX_SHINGLES)
+
+
+def rolling_fingerprint(spark: SparkSession) -> DataFrame:
+    """Order-sensitive document fingerprint:
+        H(doc) = Σ_i h(tok_i) · B^(n-i)  (mod P)
+    over the first ≤CAP tokens, where h = 48 bits of engine md5.  Unlike
+    the md5 fingerprint (a set/normalization hash), swapping two tokens
+    changes H — the Rabin-Karp rolling form.  Expressed as one grouped SUM
+    with the base powers joined from a CAP-row literal table, so both
+    engines evaluate identical exact BIGINT arithmetic (a fold would not
+    be portably expressible)."""
+    from .dedup import _h48_sql
+
+    powers = [(k, pow(ROLL_B, k, ROLL_P)) for k in range(ROLL_CAP)]
+    pow_df = spark.createDataFrame(powers, "k int, bpow bigint")
+    tk = token_count_sql("text")
+    docs = spark.table("documents").repartition("doc_id")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.least(F.expr(tk), F.lit(ROLL_CAP)).alias("n"),
+            F.posexplode(F.slice(F.split(F.col("text"), " "), 1, ROLL_CAP)).alias(
+                "pos", "tok"
+            ),
+        )
+        .select(
+            "doc_id", "n", (F.col("pos") + 1).alias("i"), F.md5("tok").alias("h")
+        )
+        .select(
+            "doc_id", "n", "i",
+            (F.expr(_h48_sql("h")) % ROLL_P).alias("hmod"),
+        )
+    )
+    term = (F.col("hmod") * F.col("bpow")) % ROLL_P
+    return (
+        toks.join(F.broadcast(pow_df), toks.n - toks.i == pow_df.k)
+        .groupBy("doc_id")
+        .agg((F.sum(term) % ROLL_P).cast("long").alias("rolling_fp"),
+             F.max("n").alias("n_tokens_hashed"))
+    )
+
+
+def rolling_fingerprint_oracle_sql() -> str:
+    from .dedup import _h48_sql
+
+    powers = ", ".join(
+        f"({k}, {pow(ROLL_B, k, ROLL_P)})" for k in range(ROLL_CAP)
+    )
+    idx = ", ".join(f"({i})" for i in range(1, ROLL_CAP + 1))
+    tk = token_count_sql("d.text")
+    return f"""
+WITH pows AS (SELECT * FROM (VALUES {powers}) AS __p(k, bpow)),
+toks AS (
+  SELECT d.doc_id,
+         LEAST({tk}, {ROLL_CAP}) AS n,
+         o.i,
+         ({_h48_sql("MD5(split_part(d.text, ' ', o.i))")}) % {ROLL_P} AS hmod
+  FROM documents d
+  CROSS JOIN (SELECT * FROM (VALUES {idx}) AS __pos(i)) o
+  WHERE o.i <= LEAST({tk}, {ROLL_CAP})
+)
+SELECT doc_id,
+       CAST(SUM((hmod * bpow) % {ROLL_P}) % {ROLL_P} AS BIGINT) AS rolling_fp,
+       MAX(n) AS n_tokens_hashed
+FROM toks JOIN pows ON toks.n - toks.i = pows.k
+GROUP BY doc_id"""
