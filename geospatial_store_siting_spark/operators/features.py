@@ -634,42 +634,68 @@ FILL_ZERO = [
 ]
 
 
-def _demographics_traffic_ring(spark: SparkSession, k: int = 1) -> DataFrame:
-    """Demographics + traffic in ONE ring join/agg pass — both families
-    read the same (ring ⋈ grid) relation, so fusing them halves the
-    assembly's shuffle count (assembly-only optimization; the public
-    per-family operators stay separate for the query surface)."""
+def _grid_families_ring2(spark: SparkSession) -> DataFrame:
+    """Demographics + traffic + daytime pop (ring-1) AND the Huff family
+    (ring-2 trade area) in ONE ring-2 grid pass.
+
+    The ring-1 aggregates are conditional on ring_k <= 1 — identical to
+    the standalone ring-1 join because every site's OWN cell is in the
+    grid (the grid is the distinct site-cell set), so no site loses its
+    demo row.  Huff share/demand use every ring-2 row, with the
+    per-distinct-cell denominator broadcast back exactly as in
+    operators/huff.py.  One ring expansion + one grid join + one hash agg
+    instead of two of each."""
+    from .huff import _dist2_miles, _gravity2, hex_denominators
+
     sites = spark.table("sites")
     grid = spark.table("hex_grid")
-    pairs = rings.ring_pairs(spark, sites, k)
-    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner")
-    pop = F.sum("population")
-    return (
-        joined.groupBy("site_id")
-        .agg(
-            pop.alias(f"population_{k}ring"),
-            dround(F.sum(F.col("median_income") * F.col("population")) / pop, 4).alias(
-                f"median_income_{k}ring"
-            ),
-            dround(F.sum(F.col("target_demo_pct") * F.col("population")) / pop, 6).alias(
-                f"target_demo_pct_{k}ring"
-            ),
-            dround(F.sum(F.col("college_pct") * F.col("population")) / pop, 6).alias(
-                f"college_pct_{k}ring"
-            ),
-            F.count(F.lit(1)).alias("n_cells"),
-            dround(F.max("pedestrian_traffic"), 4).alias("max_pedestrian_traffic"),
-            dround(F.avg("transit_score"), 4).alias("avg_transit_score"),
-            dround(F.sum("foot_traffic"), 4).alias("foot_traffic_sum"),
-            dround(
-                F.sum(
+    pairs = rings.ring_pairs(
+        spark, sites, 2, extra_cols=["lat", "lon", "site_type"], with_ring=True
+    )
+    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner").join(
+        F.broadcast(hex_denominators(spark)), "cell_id", "left"
+    )
+    in1 = F.col("ring_k") <= 1
+
+    def r1(col):
+        return F.when(in1, col)
+
+    d2 = _dist2_miles(
+        F.col("lat"), F.col("lon"), F.col("centroid_lat"), F.col("centroid_lon")
+    )
+    g_site = _gravity2(d2)
+    share = g_site / (
+        F.coalesce(F.col("denom"), F.lit(0.0))
+        + F.when(F.col("site_type") == "candidate", g_site).otherwise(F.lit(0.0))
+    )
+    pop1 = F.sum(r1(F.col("population")))
+    return joined.groupBy("site_id").agg(
+        pop1.alias("population_1ring"),
+        dround(F.sum(r1(F.col("median_income") * F.col("population"))) / pop1, 4).alias(
+            "median_income_1ring"
+        ),
+        dround(F.sum(r1(F.col("target_demo_pct") * F.col("population"))) / pop1, 6).alias(
+            "target_demo_pct_1ring"
+        ),
+        dround(F.sum(r1(F.col("college_pct") * F.col("population"))) / pop1, 6).alias(
+            "college_pct_1ring"
+        ),
+        F.count(r1(F.lit(1))).alias("n_cells"),
+        dround(F.max(r1(F.col("pedestrian_traffic"))), 4).alias("max_pedestrian_traffic"),
+        dround(F.avg(r1(F.col("transit_score"))), 4).alias("avg_transit_score"),
+        dround(F.sum(r1(F.col("foot_traffic"))), 4).alias("foot_traffic_sum"),
+        dround(
+            F.sum(
+                r1(
                     F.col("population")
                     + F.coalesce(F.col("commute_inflow"), F.lit(0.0))
                     - F.coalesce(F.col("commute_outflow"), F.lit(0.0))
-                ),
-                4,
-            ).alias(f"daytime_pop_{k}ring"),
-        )
+                )
+            ),
+            4,
+        ).alias("daytime_pop_1ring"),
+        dround(F.avg(share), 6).alias("huff_market_share"),
+        dround(F.sum(share * F.col("population")), 4).alias("huff_expected_demand"),
     )
 
 
@@ -742,22 +768,18 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
     family left joins reuse that partitioning — one shuffle of the base,
     zero re-shuffles of the families (scale-invariant: partition count
     follows spark.sql.shuffle.partitions).  Demographics+traffic+daytime
-    are fused into ONE ring pass; schools ride the k=2 POI pass; huff
-    reuses its per-distinct-cell denominator."""
-    from .huff import huff_features  # deferred: huff imports features
-
+    AND the Huff family are fused into ONE ring-2 grid pass; ring-1/ring-3
+    competition share a ring-3 pass; schools ride the k=2 POI pass."""
     base = spark.table("sites").select(
         "site_id", "metro", "site_type", "drive_thru", "h3_res8"
     ).repartition("site_id")
-    huff = huff_features(spark).withColumnRenamed("huff_demand", "huff_expected_demand")
     out = (
-        base.join(_demographics_traffic_ring(spark, 1), "site_id", "left")
+        base.join(_grid_families_ring2(spark), "site_id", "left")
         .join(_competition_rings(spark), "site_id", "left")
         .join(competition_distance(spark), "site_id", "left")
         .join(_poi_school_ring(spark), "site_id", "left")
         .join(property_features(spark), "site_id", "left")
         .join(cannibalization(spark), "site_id", "left")
-        .join(huff, "site_id", "left")
     )
     dev_cols: list[str] = []
     if dev_signals:
