@@ -308,5 +308,18 @@ def oracle_sql() -> dict[str, str]:
         "app_scoring_features": app_queries.scoring_features_oracle_sql(42),
         "one_hot_features": encode.one_hot_features_oracle_sql(),
         "model_feature_columns": encode.model_feature_columns_oracle_sql(),
-        # quality_gate / flagged_sites_latest: report / write-path surfaces — rows-only
+        "metro_outlier_scores": _grouped_oracle_sql(),
+        # the write-path demo is content-deterministic: latest-wins of the
+        # three appended events
+        "flagged_sites_latest": """
+SELECT CAST(site_id AS BIGINT) AS site_id, status, note, CAST(seq AS BIGINT) AS seq
+FROM (VALUES (42, 'rejected', 'lease fell through', 2),
+             (77, 'shortlisted', '', 1)) AS __f(site_id, status, note, seq)""",
+        # quality_gate: report surface — rows-only
     }
+
+
+def _grouped_oracle_sql() -> str:
+    from geospatial_store_siting_spark.operators import grouped
+
+    return grouped.metro_outlier_scores_oracle_sql()

@@ -32,7 +32,9 @@ def metro_outlier_scores(spark: SparkSession) -> DataFrame:
         mad = np.median(np.abs(x - med)) or 1.0
         rz = 0.6745 * (x - med) / mad
         out = pdf[["site_id", "metro", "predicted_annual_sales"]].copy()
-        out["robust_z"] = np.round(rz, 6)
+        # deterministic floor-rounding (dround twin) — np.round is
+        # half-to-even and would diverge from the SQL oracle
+        out["robust_z"] = np.floor(rz * 1e6 + 0.5) / 1e6
         out["is_outlier"] = np.abs(rz) > 3.5
         return out
 
@@ -41,3 +43,32 @@ def metro_outlier_scores(spark: SparkSession) -> DataFrame:
         "robust_z double, is_outlier boolean"
     )
     return scored.groupBy("metro").applyInPandas(per_group, schema=schema)
+
+
+def metro_outlier_scores_oracle_sql() -> str:
+    """SQL twin of the grouped-map kernel: per-metro median + MAD via
+    exact quantiles, identical arithmetic order (0.6745·(x−med))/mad."""
+    from .scoring import _scored_oracle_core
+
+    rz = "((0.6745 * (d.predicted_annual_sales - d.med)) / (CASE WHEN m.mad = 0 THEN 1.0 ELSE m.mad END))"
+    return f"""
+WITH scored AS (
+  SELECT site_id, metro, predicted_annual_sales
+  FROM ({_scored_oracle_core()}) __sc
+),
+meds AS (
+  SELECT metro, QUANTILE_CONT(predicted_annual_sales, 0.5) AS med
+  FROM scored GROUP BY metro
+),
+devs AS (
+  SELECT s.site_id, s.metro, s.predicted_annual_sales, m.med
+  FROM scored s JOIN meds m ON s.metro = m.metro
+),
+mads AS (
+  SELECT metro, QUANTILE_CONT(ABS(predicted_annual_sales - med), 0.5) AS mad
+  FROM devs GROUP BY metro
+)
+SELECT d.site_id, d.metro, d.predicted_annual_sales,
+       (FLOOR({rz} * 1000000.0 + 0.5) / 1000000.0) AS robust_z,
+       ABS({rz}) > 3.5 AS is_outlier
+FROM devs d JOIN mads m ON d.metro = m.metro"""
