@@ -65,16 +65,41 @@ def _quality_gate_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# Single source of truth for the write-path demo: the writer appends these
+# events and the oracle derives its expected latest-wins rows from the SAME
+# list (see _flagged_latest_oracle_sql) — edit here, both sides follow.
+FLAGGED_EVENTS = [  # (site_id, status, note, seq)
+    (42, "shortlisted", "good corner", 1),
+    (42, "rejected", "lease fell through", 2),
+    (77, "shortlisted", "", 1),
+]
+
+
 def _flagged_sites_demo(spark: SparkSession) -> DataFrame:
     """Write-back sink surface: append flag events to a fresh scratch log,
     read back latest-wins (deterministic content, fresh dir per call)."""
     import tempfile
 
     path = tempfile.mkdtemp(prefix="flagged_") + "/log"
-    app_queries.flag_site(spark, path, 42, "shortlisted", "good corner", seq=1)
-    app_queries.flag_site(spark, path, 42, "rejected", "lease fell through", seq=2)
-    app_queries.flag_site(spark, path, 77, "shortlisted", "", seq=1)
+    for site_id, status, note, seq in FLAGGED_EVENTS:
+        app_queries.flag_site(spark, path, site_id, status, note, seq=seq)
     return app_queries.flagged_sites(spark, path)
+
+
+def _flagged_latest_oracle_sql() -> str:
+    """Latest-wins (max seq per site) computed in Python over FLAGGED_EVENTS,
+    rendered as a VALUES literal — an independent recomputation of what
+    flagged_sites() must return, not a hand-kept fixture."""
+    latest: dict[int, tuple] = {}
+    for ev in FLAGGED_EVENTS:
+        if ev[0] not in latest or ev[3] > latest[ev[0]][3]:
+            latest[ev[0]] = ev
+    rows = ",\n             ".join(
+        "({}, '{}', '{}', {})".format(*latest[k]) for k in sorted(latest)
+    )
+    return f"""
+SELECT CAST(site_id AS BIGINT) AS site_id, status, note, CAST(seq AS BIGINT) AS seq
+FROM (VALUES {rows}) AS __f(site_id, status, note, seq)"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -133,7 +158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs),
         "dedup_simhash": _q(dedup.simhash),
+        # APPROXIMATE (banded-LSH candidates, recall ≈0.85 at cosine 0.35,
+        # →1 as cosine →1); the complete-baseline is _exact below.
         "dedup_embedding_cosine": _q(dedup.embedding_near_dup),
+        "dedup_embedding_cosine_exact": _q(
+            lambda s: dedup.embedding_near_dup(s, exact=True)
+        ),
         # --- similarity search (ANN) ---
         "ann_brute_force_topk": _q(similarity.brute_force_topk),
         "ann_lsh_topk": _q(similarity.ann_topk),
@@ -156,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _q(relational.rollup_revenue),
         "cube_revenue": _q(relational.cube_revenue),
         "events_running_totals": _q(events_ops.running_totals),
+        "events_asof_join": _q(events_ops.asof_last_view),
         # --- north-star geo operators: kNN / PIP / zonal / skew ---
         "knn_competitors": _q(knn.knn_competitors),
         "pip_convex_zones": _q(pip.pip_convex_join),
@@ -269,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": events_ops.sessionize_oracle_sql(),
         "events_funnel": events_ops.event_type_funnel_oracle_sql(),
         "events_json_props": events_ops.json_props_extract_oracle_sql(),
+        "events_asof_join": events_ops.asof_last_view_oracle_sql(),
         "tpch_q1_pricing": relational.pricing_summary_oracle_sql(),
         "tpch_q3_top_orders": relational.top_unshipped_orders_oracle_sql(),
         "tpch_q5_regional": relational.regional_revenue_oracle_sql(),
@@ -281,13 +313,15 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": relational.cube_revenue_oracle_sql(),
         "events_running_totals": events_ops.running_totals_oracle_sql(),
         "dedup_embedding_cosine": dedup.embedding_near_dup_oracle_sql(),
+        "dedup_embedding_cosine_exact": dedup.embedding_near_dup_exact_oracle_sql(),
         "knn_competitors": knn.knn_competitors_oracle_sql(),
         "pip_convex_zones": pip.pip_convex_join_oracle_sql(),
         "pip_index_assignments": pip.pip_assignments_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
-        # huff_beta_calibration / ml_predictions / media_feature_summary:
-        # intentionally no oracle (iterative ML / binary kernels) — rows-only
+        # ml_predictions / media_feature_summary: intentionally no oracle
+        # (iterative ML / binary kernels) — rows-only
+        "huff_beta_calibration": ml.calibrate_huff_beta_oracle_sql(),
         "median_imputation": encode.median_imputation_oracle_sql(),
         "one_hot_metro": encode.one_hot_metro_oracle_sql(),
         "percentile_by_metro": encode.percentile_by_metro_oracle_sql(),
@@ -309,12 +343,9 @@ def oracle_sql() -> dict[str, str]:
         "one_hot_features": encode.one_hot_features_oracle_sql(),
         "model_feature_columns": encode.model_feature_columns_oracle_sql(),
         "metro_outlier_scores": _grouped_oracle_sql(),
-        # the write-path demo is content-deterministic: latest-wins of the
-        # three appended events
-        "flagged_sites_latest": """
-SELECT CAST(site_id AS BIGINT) AS site_id, status, note, CAST(seq AS BIGINT) AS seq
-FROM (VALUES (42, 'rejected', 'lease fell through', 2),
-             (77, 'shortlisted', '', 1)) AS __f(site_id, status, note, seq)""",
+        # the write-path demo is content-deterministic: latest-wins of
+        # FLAGGED_EVENTS, recomputed from the same constant the writer uses
+        "flagged_sites_latest": _flagged_latest_oracle_sql(),
         # quality_gate: report surface — rows-only
     }
 

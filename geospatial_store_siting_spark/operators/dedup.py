@@ -85,10 +85,8 @@ def exact_dedup(spark: SparkSession) -> DataFrame:
     from .text_ops import fingerprint
 
     fp = fingerprint(spark)
-    return (
-        fp.groupBy("fp")
-        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 1)
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_docs")
     )
 
 
@@ -109,10 +107,10 @@ def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.35) -> DataFra
     """Candidate pairs from a shingle inverted index, scored with exact
     Jaccard over distinct shingles.  DF-capped postings bound the join.
     The distinct shingle set feeds four consumers (sizes, DF filter, both
-    posting sides) — persisted so the explode+distinct runs once."""
-    from pyspark.storagelevel import StorageLevel
-
-    sh = shingles(spark).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    posting sides) — localCheckpoint'ed so the explode+distinct runs once
+    and the blocks are ContextCleaner-reclaimed when the plan is GC'd
+    (persist would pin cache for the whole session)."""
+    sh = shingles(spark).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
     postings = sh.join(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP),
@@ -226,14 +224,13 @@ def minhash_lsh_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
     estimated similarity = fraction of agreeing minhash components.
 
     The signature table feeds three consumers (band buckets + both sides
-    of the signature join): it is persisted so the shingle→hash→agg plan
-    executes ONCE (doc-level rows — tiny next to the corpus), and the
-    band table is a single generator explode rather than a UNION of
-    per-band selects (which would re-execute the signature plan per
-    band)."""
-    from pyspark.storagelevel import StorageLevel
-
-    sig = minhash_signatures(spark).persist(StorageLevel.MEMORY_AND_DISK)
+    of the signature join): it is localCheckpoint'ed so the
+    shingle→hash→agg plan executes ONCE (doc-level rows — tiny next to
+    the corpus) and the blocks are reclaimed on GC rather than pinned for
+    the session, and the band table is a single generator explode rather
+    than a UNION of per-band selects (which would re-execute the
+    signature plan per band)."""
+    sig = minhash_signatures(spark).localCheckpoint(eager=True)
     per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = F.array(
         *[
@@ -415,24 +412,39 @@ def _emb_band_buckets(spark: SparkSession) -> DataFrame:
     return out
 
 
-def embedding_near_dup(spark: SparkSession, threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via banded LSH candidates +
-    exact cosine refine — the scale path: candidate generation is a
-    bucket-local equi-join (no all-pairs crossJoin, no corpus broadcast),
-    then the exact cosine keeps only true near-dups.  Approximate by
-    design: pairs colliding in no band are not examined (recall ≈0.85 at
-    cosine 0.35, →1 as cosine →1)."""
+def embedding_near_dup(
+    spark: SparkSession, threshold: float = 0.35, exact: bool = False
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``exact=False`` (default, the scale path): banded sign-random-
+    projection LSH candidates + exact cosine refine — candidate
+    generation is a bucket-local equi-join (no all-pairs crossJoin, no
+    corpus broadcast).  APPROXIMATE by design: pairs colliding in no band
+    are not examined (recall ≈0.85 at cosine 0.35, →1 as cosine →1).
+
+    ``exact=True`` (the round-1 documented baseline, O(n²)): all-pairs
+    self-join above the threshold — complete, but quadratic in corpus
+    size; only viable for small corpora or per-bucket refinement.
+    """
     from .similarity import _dot_cols, _norm_col
 
     emb = spark.table("embeddings")
-    buckets = _emb_band_buckets(spark)
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        .distinct()
-    )
+    if exact:
+        cand = (
+            emb.select(F.col("vec_id").alias("a"))
+            .crossJoin(emb.select(F.col("vec_id").alias("b")))
+            .filter(F.col("a") < F.col("b"))
+        )
+    else:
+        buckets = _emb_band_buckets(spark)
+        cand = (
+            buckets.alias("x")
+            .join(buckets.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+            .distinct()
+        )
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     pairs = cand.join(ea, "a").join(eb, "b")
@@ -479,6 +491,17 @@ SELECT cand.a, cand.b,
 FROM cand
 JOIN embeddings ea ON cand.a = ea.vec_id
 JOIN embeddings eb ON cand.b = eb.vec_id
+WHERE (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) >= {threshold}"""
+
+
+def embedding_near_dup_exact_oracle_sql(threshold: float = 0.35) -> str:
+    from .similarity import _dot_sql, _norm_sql
+
+    cos = f"({_dot_sql('ea.embedding', 'eb.embedding')}) / ({_norm_sql('ea.embedding')} * {_norm_sql('eb.embedding')})"
+    return f"""
+SELECT ea.vec_id AS a, eb.vec_id AS b,
+       (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
 WHERE (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) >= {threshold}"""
 
 

@@ -193,3 +193,79 @@ SELECT user_id, event_id,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
 FROM events"""
+
+
+def asof_last_view(
+    spark: SparkSession, left_type: str = "purchase", right_type: str = "view"
+) -> DataFrame:
+    """AS-OF join: each LEFT event (purchase) picks the SAME USER's most
+    recent RIGHT event (view) STRICTLY before it — the time-series point
+    lookup Spark has no built-in operator for.
+
+    Plan: one shuffle.  Both streams union into a single user_id-hash
+    partitioning, sorted by (event time, kind, id) within the partition; a
+    rows-frame ``last(ignorenulls)`` over the strictly-preceding rows
+    carries the latest right-side ref forward.  No range join (O(n·m)
+    candidate blowup), no per-key collect — the classic distributed
+    merge-asof, and the sort reuses the shuffle's partitioning.  Strict
+    semantics: at an equal timestamp the left row orders FIRST (kind 0 <
+    kind 1), so a same-instant right event is NOT matched — this matches
+    the oracle's ``l.ets > r.ets`` ASOF predicate exactly.
+
+    The DuckDB oracle is an INDEPENDENT recomputation via its native
+    ``ASOF LEFT JOIN`` (merge-join implementation), not a transliteration
+    of this window plan.
+    """
+    ev = spark.table("events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ets"),
+        "event_type",
+        "value",
+    )
+    both = ev.filter(F.col("event_type").isin([left_type, right_type]))
+    both = both.withColumn(
+        "__kind",
+        F.when(F.col("event_type") == right_type, F.lit(1)).otherwise(F.lit(0)),
+    )
+    ref = F.when(
+        F.col("event_type") == right_type,
+        F.struct(
+            F.col("event_id").alias("vid"),
+            F.col("ets").alias("vets"),
+            F.col("value").alias("vval"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "__kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = both.withColumn("__last", F.last(ref, ignorenulls=True).over(w))
+    return matched.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias(f"{left_type}_event_id"),
+        "user_id",
+        F.col("ets").alias(f"{left_type}_epoch_us"),
+        F.col("value").alias(f"{left_type}_value"),
+        F.col("__last.vid").alias(f"{right_type}_event_id"),
+        F.col("__last.vval").alias(f"{right_type}_value"),
+        (F.col("ets") - F.col("__last.vets")).alias("micros_since"),
+    )
+
+
+def asof_last_view_oracle_sql(
+    left_type: str = "purchase", right_type: str = "view"
+) -> str:
+    return f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ets, value
+           FROM events WHERE event_type = '{left_type}'),
+     r AS (SELECT event_id, user_id, epoch_us(ts) AS ets, value
+           FROM events WHERE event_type = '{right_type}')
+SELECT l.event_id AS {left_type}_event_id,
+       l.user_id,
+       l.ets AS {left_type}_epoch_us,
+       l.value AS {left_type}_value,
+       r.event_id AS {right_type}_event_id,
+       r.value AS {right_type}_value,
+       l.ets - r.ets AS micros_since
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ets > r.ets"""

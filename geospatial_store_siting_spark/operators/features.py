@@ -299,16 +299,32 @@ GROUP BY site_id"""
 # joins only while it is provably small; above this, the plan must not
 # depend on shipping the whole competitor/store table to every executor.
 BROADCAST_DIM_LIMIT = 1_000_000
-_dim_count_cache: dict = {}
+_DIM_CACHE_ATTR = "_gss_dim_count_cache"
+
+
+def invalidate_dim_cache(spark: SparkSession) -> None:
+    """Drop the per-session dim-count cache. Called whenever tables/views
+    are (re)registered, so a view re-registered with more rows under an
+    identical logical plan cannot reuse a stale count."""
+    if hasattr(spark, _DIM_CACHE_ATTR):
+        getattr(spark, _DIM_CACHE_ATTR).clear()
 
 
 def _dim_small(df: DataFrame, limit: int | None = None) -> bool:
     if limit is None:
         limit = BROADCAST_DIM_LIMIT  # read at call time (testable/tunable)
-    key = (id(df.sparkSession), df._jdf.queryExecution().logical().semanticHash())
-    if key not in _dim_count_cache:
-        _dim_count_cache[key] = df.count()
-    return _dim_count_cache[key] <= limit
+    spark = df.sparkSession
+    # Cache lives ON the SparkSession object (not a module global keyed by
+    # id()): it dies with the session, a recycled id() can't alias two
+    # sessions, and invalidate_dim_cache() clears it on view registration.
+    cache = getattr(spark, _DIM_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _DIM_CACHE_ATTR, cache)
+    key = df._jdf.queryExecution().logical().semanticHash()
+    if key not in cache:
+        cache[key] = df.count()
+    return cache[key] <= limit
 
 
 WINDOW_RING_K = 5  # res-7 ring radius for windowed distance features

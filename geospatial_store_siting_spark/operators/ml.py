@@ -189,6 +189,51 @@ def calibrate_huff_beta(spark: SparkSession) -> DataFrame:
     ).drop("rank")
 
 
+def calibrate_huff_beta_oracle_sql() -> str:
+    """DuckDB twin of the β grid search: the calibration is fully
+    relational (ring expansion × β VALUES grid → gravity demand → CORR per
+    β → argmax), so it gets a value-checked oracle like any other query.
+    POWER with fractional β is libm on both engines (≤1 ulp); the 1e-6
+    floor-rounding on the final CORR absorbs the summation-order and ulp
+    noise, and the argmax is computed on the ROUNDED value in both."""
+    from ..functions import hex_sql
+    from . import rings
+    from .huff import _dist2_sql
+    from ..config import DISTANCE_FLOOR_MILES
+
+    ring = rings.ring_pairs_oracle_sql(
+        "SELECT site_id, lat, lon, annual_sales, q, r FROM sites WHERE site_type = 'store'",
+        2,
+        extra_cols=["lat", "lon", "annual_sales"],
+    )
+    beta_rows = ", ".join(f"({float(b)})" for b in HUFF_BETA_GRID)
+    d2 = _dist2_sql("t.lat", "t.lon", "h.centroid_lat", "h.centroid_lon")
+    floor2 = DISTANCE_FLOOR_MILES ** 2
+    return f"""
+WITH sites AS ({hex_sql.sites_sql()}), hex_grid AS ({hex_sql.grid_sql()}),
+trade AS ({ring}),
+betas AS (SELECT CAST(beta AS DOUBLE) AS beta FROM (VALUES {beta_rows}) AS __b(beta)),
+demand AS (
+  SELECT t.site_id, b.beta, t.annual_sales,
+         SUM((1.0 / POWER(SQRT(GREATEST({d2}, {floor2})), b.beta)) * h.population)
+             AS huff_demand
+  FROM trade t
+  JOIN hex_grid h ON t.neighbor_h3 = h.cell_id
+  CROSS JOIN betas b
+  GROUP BY t.site_id, b.beta, t.annual_sales
+),
+per_beta AS (
+  SELECT beta,
+         (FLOOR((CORR(huff_demand, annual_sales)) * 1000000.0 + 0.5) / 1000000.0)
+             AS corr_with_sales,
+         COUNT(*) AS n_stores
+  FROM demand GROUP BY beta
+)
+SELECT beta, corr_with_sales, n_stores,
+       (ROW_NUMBER() OVER (ORDER BY corr_with_sales DESC, beta ASC)) = 1 AS is_best
+FROM per_beta"""
+
+
 def feature_importance(spark: SparkSession) -> DataFrame:
     """The app's feature-importance endpoint (`app/main.py:267-280`):
     GBT importances ranked (rows-only — tree ensembles aren't

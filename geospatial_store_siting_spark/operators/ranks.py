@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def with_percent_rank(
@@ -37,16 +36,18 @@ def with_percent_rank(
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     ranged = ranged.withColumn("__local_rank", F.row_number().over(w))
-    # Persist + materialize BEFORE the counts collect: repartitionByRange
-    # samples boundaries with an RDD-id-derived seed, so re-executing the
-    # plan can produce a DIFFERENT partitioning — the collected offsets
-    # would then mis-assign ranks (and unseen pids would map to NULL).
-    # Persisting pins one materialization that both the counts job and the
-    # final output job read, and halves the upstream work (the feature
-    # plan upstream of scoring is expensive).  The cache stays pinned for
-    # the session (MEMORY_AND_DISK, LRU-evicted); callers running inside
-    # the pipeline feed a checkpointed snapshot so the block is small.
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize BEFORE the counts collect: repartitionByRange samples
+    # boundaries with an RDD-id-derived seed, so re-executing the plan can
+    # produce a DIFFERENT partitioning — the collected offsets would then
+    # mis-assign ranks (and unseen pids would map to NULL).
+    # localCheckpoint (not persist): the materialization is NON-recomputable
+    # — on block/executor loss the job fails loudly instead of silently
+    # re-sampling different boundaries — and its blocks are reclaimed by the
+    # ContextCleaner when the plan is GC'd, so repeated calls don't
+    # accumulate pinned cache for the session.  It also halves the upstream
+    # work (the feature plan upstream of scoring is expensive): both the
+    # counts job and the final output job read the one materialization.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = (
         ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     )

@@ -36,6 +36,9 @@ BASE_TABLES = [
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from ..operators.features import invalidate_dim_cache
+
+    invalidate_dim_cache(spark)  # view contents may change under same plan hash
     out = {}
     for name in BASE_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -78,7 +81,9 @@ def register_geo_views(
     back to cached logical views (used when sf_dir is unknown).
     """
     from . import snapshots
+    from ..operators.features import invalidate_dim_cache
 
+    invalidate_dim_cache(spark)
     out = {}
     for name, sql_fn in all_views().items():
         if materialize and sf_dir:

@@ -88,11 +88,11 @@ def test_distance_broadcast_is_size_gated(geo, monkeypatch):
     from geospatial_store_siting_spark.operators import features as feats_mod
 
     monkeypatch.setattr(feats_mod, "BROADCAST_DIM_LIMIT", 0)
-    feats_mod._dim_count_cache.clear()
+    feats_mod.invalidate_dim_cache(geo)
     gated = feats_mod.competition_distance(geo)
     assert "ResolvedHint" not in gated._jdf.queryExecution().logical().toString()
     monkeypatch.undo()
-    feats_mod._dim_count_cache.clear()
+    feats_mod.invalidate_dim_cache(geo)
 
     windowed = feats_mod.competition_distance_windowed(geo)
     plan = _plan(windowed)
