@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _q(relational.cube_revenue),
         "events_running_totals": _q(events_ops.running_totals),
         "events_asof_join": _q(events_ops.asof_last_view),
+        "events_interval_join": _q(events_ops.interval_join),
         # --- north-star geo operators: kNN / PIP / zonal / skew ---
         "knn_competitors": _q(knn.knn_competitors),
         "pip_convex_zones": _q(pip.pip_convex_join),
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": events_ops.event_type_funnel_oracle_sql(),
         "events_json_props": events_ops.json_props_extract_oracle_sql(),
         "events_asof_join": events_ops.asof_last_view_oracle_sql(),
+        "events_interval_join": events_ops.interval_join_oracle_sql(),
         "tpch_q1_pricing": relational.pricing_summary_oracle_sql(),
         "tpch_q3_top_orders": relational.top_unshipped_orders_oracle_sql(),
         "tpch_q5_regional": relational.regional_revenue_oracle_sql(),

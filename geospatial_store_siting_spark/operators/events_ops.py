@@ -269,3 +269,86 @@ SELECT l.event_id AS {left_type}_event_id,
        r.value AS {right_type}_value,
        l.ets - r.ets AS micros_since
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ets > r.ets"""
+
+
+# Deterministic maintenance-window dimension for the interval join: 256
+# windows of 90 min every 4 h from 2024-01-01 — both engines derive the
+# same table from a range() generator (no external data).
+INTERVAL_T0 = 1704067200  # epoch of 2024-01-01 00:00:00 UTC
+INTERVAL_EVERY_SEC = 14400
+INTERVAL_LEN_SEC = 5400
+INTERVAL_N = 256
+INTERVAL_BUCKET_SEC = 3600
+
+
+def interval_join(spark: SparkSession) -> DataFrame:
+    """Interval (range) join: events ↔ overlapping time windows, via
+    BUCKETED equi-join — the scale pattern for range predicates.
+
+    A naive ``ev JOIN w ON ets >= start AND ets < end`` has no equi key,
+    so Spark plans BroadcastNestedLoopJoin — O(|events|·|windows|)
+    comparisons and a mandatory broadcast.  Instead both sides are mapped
+    to coarse time buckets (windows explode into the few buckets they
+    cover via ``sequence``; an event lands in exactly one bucket), the
+    bucket becomes a hash-join key, and the true containment predicate
+    refines the candidates.  Work is O(|events| + matches); the bucket
+    width trades candidate slop against window-side duplication.  Because
+    an event has exactly ONE bucket, a (event, window) pair can match at
+    most once — no post-join dedup.
+    """
+    ev = spark.table("events").select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ets"),
+    )
+    wins = (
+        spark.range(INTERVAL_N)
+        .select(
+            F.col("id").alias("window_id"),
+            (F.lit(INTERVAL_T0) + F.col("id") * INTERVAL_EVERY_SEC).alias("start_epoch"),
+            (
+                F.lit(INTERVAL_T0)
+                + F.col("id") * INTERVAL_EVERY_SEC
+                + F.lit(INTERVAL_LEN_SEC)
+            ).alias("end_epoch"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_epoch") / INTERVAL_BUCKET_SEC),
+                    F.floor((F.col("end_epoch") - 1) / INTERVAL_BUCKET_SEC),
+                )
+            ),
+        )
+    )
+    evb = ev.withColumn("bucket", F.floor(F.col("ets") / INTERVAL_BUCKET_SEC))
+    return (
+        evb.join(F.broadcast(wins), "bucket")
+        .filter((F.col("ets") >= F.col("start_epoch")) & (F.col("ets") < F.col("end_epoch")))
+        .select(
+            "event_id",
+            "event_type",
+            "ets",
+            "window_id",
+            "start_epoch",
+            (F.col("ets") - F.col("start_epoch")).alias("offset_sec"),
+        )
+    )
+
+
+def interval_join_oracle_sql() -> str:
+    """Independent recomputation: DuckDB runs the PLAIN inequality join
+    (its optimizer handles the range predicate natively) — same result
+    set, different physical strategy."""
+    return f"""
+WITH wins AS (
+  SELECT i AS window_id,
+         {INTERVAL_T0} + i * {INTERVAL_EVERY_SEC} AS start_epoch,
+         {INTERVAL_T0} + i * {INTERVAL_EVERY_SEC} + {INTERVAL_LEN_SEC} AS end_epoch
+  FROM range({INTERVAL_N}) t(i)
+),
+ev AS (SELECT event_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ets FROM events)
+SELECT ev.event_id, ev.event_type, ev.ets, w.window_id, w.start_epoch,
+       ev.ets - w.start_epoch AS offset_sec
+FROM ev JOIN wins w ON ev.ets >= w.start_epoch AND ev.ets < w.end_epoch"""

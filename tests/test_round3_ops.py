@@ -95,3 +95,17 @@ def test_dim_cache_invalidation(geo):
     assert len(cache) == 1
     features.invalidate_dim_cache(geo)
     assert len(cache) == 0
+
+
+def test_interval_join_is_bucketed_hash_join(geo):
+    df = events_ops.interval_join(geo)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every matched event really falls inside its window
+    bad = df.filter(
+        (F.col("offset_sec") < 0)
+        | (F.col("offset_sec") >= events_ops.INTERVAL_LEN_SEC)
+    ).count()
+    assert bad == 0
+    assert df.count() > 0
