@@ -57,11 +57,14 @@ def main() -> None:
     spark.read.parquet(big_path).createOrReplaceTempView("sites")
 
     def run(fn):
-        df = fn(spark)
-        df.write.mode("overwrite").format("noop").save()  # warm
-        best = None
+        fn(spark).write.mode("overwrite").format("noop").save()  # warm
+        best, df = None, None
         for _ in range(2):
+            # construction is inside the timed cycle: operators that
+            # eagerly materialize (the scoring rank's localCheckpoint) do
+            # their real work at plan-build time
             t0 = time.perf_counter()
+            df = fn(spark)
             df.write.mode("overwrite").format("noop").save()
             d = time.perf_counter() - t0
             best = d if best is None else min(best, d)
