@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagged_sites_latest": _q(_flagged_sites_demo),  # rows-only (write path)
         # --- grouped-map + multimodal kernels (Arrow; rows-only) ---
         "metro_outlier_scores": _q(_grouped_outliers),
+        "metro_supply_balance": _q(_grouped_supply_balance),
         "media_resize": _q(_media_resize),
         "media_frame_sample": _q(_media_frames),
     }
@@ -242,6 +243,18 @@ def _grouped_outliers(spark: SparkSession) -> DataFrame:
     from geospatial_store_siting_spark.operators import grouped
 
     return grouped.metro_outlier_scores(spark)
+
+
+def _grouped_supply_balance(spark: SparkSession) -> DataFrame:
+    from geospatial_store_siting_spark.operators import grouped
+
+    return grouped.metro_supply_balance(spark)
+
+
+def _supply_balance_oracle_sql() -> str:
+    from geospatial_store_siting_spark.operators import grouped
+
+    return grouped.metro_supply_balance_oracle_sql()
 
 
 def _media_resize(spark: SparkSession) -> DataFrame:
@@ -345,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "one_hot_features": encode.one_hot_features_oracle_sql(),
         "model_feature_columns": encode.model_feature_columns_oracle_sql(),
         "metro_outlier_scores": _grouped_oracle_sql(),
+        "metro_supply_balance": _supply_balance_oracle_sql(),
         # the write-path demo is content-deterministic: latest-wins of
         # FLAGGED_EVENTS, recomputed from the same constant the writer uses
         "flagged_sites_latest": _flagged_latest_oracle_sql(),

@@ -72,3 +72,76 @@ SELECT d.site_id, d.metro, d.predicted_annual_sales,
        (FLOOR({rz} * 1000000.0 + 0.5) / 1000000.0) AS robust_z,
        ABS({rz}) > 3.5 AS is_outlier
 FROM devs d JOIN mads m ON d.metro = m.metro"""
+
+
+def metro_supply_balance(spark: SparkSession) -> DataFrame:
+    """Cogrouped-map (``cogroup(...).applyInPandas``): stores and
+    competitors arrive as TWO aligned pandas frames per metro key and are
+    reconciled in one kernel — the two-sided per-group escape hatch (the
+    pattern for per-key model blending / per-market reconciliation where
+    both sides' rows are needed together).
+
+    Scale: both sides hash-shuffle once on the metro key and stream
+    group-by-group through Arrow; nothing is collected, and per-group
+    memory is one metro's rows.  (Hot metros would be the skew concern —
+    the salting pattern of operators/skew.py applies upstream.)
+    """
+    stores = (
+        spark.table("sites")
+        .filter(F.col("site_type") == "store")
+        .select("metro", "annual_sales")
+    )
+    comps = spark.table("competitors").select("metro", "competitor_id")
+
+    def merge(key, s_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        n_s, n_c = len(s_pdf), len(c_pdf)
+        med = (
+            float(np.median(s_pdf["annual_sales"].to_numpy(dtype=np.float64)))
+            if n_s
+            else None
+        )
+        # deterministic floor-rounding (dround twin — np.round is half-to-even)
+        r4 = lambda x: None if x is None else float(np.floor(x * 1e4 + 0.5) / 1e4)  # noqa: E731
+        return pd.DataFrame(
+            {
+                "metro": [key[0]],
+                "n_stores": [n_s],
+                "n_competitors": [n_c],
+                "median_store_sales": [r4(med)],
+                "stores_per_competitor": [r4(n_s / n_c) if n_c else None],
+            }
+        )
+
+    schema = (
+        "metro string, n_stores bigint, n_competitors bigint, "
+        "median_store_sales double, stores_per_competitor double"
+    )
+    return (
+        stores.groupBy("metro")
+        .cogroup(comps.groupBy("metro"))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
+def metro_supply_balance_oracle_sql() -> str:
+    """SQL twin: per-side grouped aggregates full-outer-joined on metro
+    (cogroup passes an empty frame for a key missing on one side —
+    FULL OUTER + COALESCE mirrors that)."""
+    from ..functions import hex_sql
+
+    return f"""
+WITH sites AS ({hex_sql.sites_sql()}), competitors AS ({hex_sql.competitors_sql()}),
+s AS (
+  SELECT metro, COUNT(*) AS n_stores,
+         QUANTILE_CONT(annual_sales, 0.5) AS med
+  FROM sites WHERE site_type = 'store' GROUP BY metro
+),
+c AS (SELECT metro, COUNT(*) AS n_comp FROM competitors GROUP BY metro)
+SELECT COALESCE(s.metro, c.metro) AS metro,
+       COALESCE(s.n_stores, 0) AS n_stores,
+       COALESCE(c.n_comp, 0) AS n_competitors,
+       (FLOOR(s.med * 10000.0 + 0.5) / 10000.0) AS median_store_sales,
+       CASE WHEN COALESCE(c.n_comp, 0) = 0 THEN NULL
+            ELSE (FLOOR((CAST(s.n_stores AS DOUBLE) / c.n_comp) * 10000.0 + 0.5) / 10000.0)
+       END AS stores_per_competitor
+FROM s FULL OUTER JOIN c ON s.metro = c.metro"""

@@ -109,3 +109,16 @@ def test_interval_join_is_bucketed_hash_join(geo):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_cogroup_supply_balance(geo):
+    from geospatial_store_siting_spark.operators import grouped
+
+    rows = {r["metro"]: r for r in grouped.metro_supply_balance(geo).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["n_stores"] > 0 and r["n_competitors"] > 0
+        assert r["median_store_sales"] is not None
+        assert abs(
+            r["stores_per_competitor"] - r["n_stores"] / r["n_competitors"]
+        ) < 1e-3
