@@ -193,8 +193,14 @@ def _mh_sql(seed: int) -> str:
 
 def minhash_signatures(spark: SparkSession) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1}: min of a seeded
-    universal hash over one engine-side md5 per shingle."""
-    sh = shingles(spark).distinct()
+    universal hash over one engine-side md5 per shingle.
+
+    No ``.distinct()`` before the agg: MIN is idempotent over duplicate
+    shingles, so deduplicating first only adds a full shuffle of the
+    shingle table — the signature (and the oracle's DISTINCT form) is
+    identical either way, and the plan is shingle-explode → hash →
+    partial-agg → ONE shuffle on doc_id."""
+    sh = shingles(spark)
     hashed = sh.select(
         "doc_id", F.md5("shingle").alias("h")
     ).select("doc_id", F.expr(_h48_sql()).alias("h48"))
@@ -352,16 +358,36 @@ def simhash(spark: SparkSession) -> DataFrame:
     # REPARTITION before the heavy map work: the documents scan is often a
     # single parquet row-group (one task), which would serialize the
     # explode+md5+60-sum pipeline on one core.
+    #
+    # Bit extraction: Spark decodes the 15 hex nibbles in ONE conv() to a
+    # 60-bit BIGINT and tests bits with shift/mask (integer ops), instead
+    # of the oracle's 15 INSTR+SUBSTRING per row (string ops) — bit b of
+    # the nibble path is bit (4*(14 - b//4) + b%4) of the conv value, so
+    # the signatures are identical; the oracle keeps the dialect-neutral
+    # nibble decode (DuckDB has no conv) and the driver hash-checks both.
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (v >> {4 * (14 - b // 4) + b % 4}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
     sql = f"""
 WITH tok AS (
-  SELECT doc_id, md5(tok) AS h
+  SELECT doc_id, CAST(conv(substring(md5(tok), 1, {SIMHASH_BITS // 4}), 16, 10) AS BIGINT) AS v
   FROM (
     SELECT /*+ REPARTITION(doc_id) */ doc_id,
            explode(slice(split(text, ' '), 1, {SIMHASH_TOKEN_CAP})) AS tok
     FROM documents
   ) __pos
 ),
-{_simhash_tail_sql()}"""
+acc AS (
+  SELECT doc_id,
+         {sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM acc"""
     return spark.sql(sql)
 
 

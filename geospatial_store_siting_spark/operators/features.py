@@ -661,7 +661,7 @@ def _grid_families_ring2(spark: SparkSession) -> DataFrame:
     per-distinct-cell denominator broadcast back exactly as in
     operators/huff.py.  One ring expansion + one grid join + one hash agg
     instead of two of each."""
-    from .huff import _dist2_miles, _gravity2, hex_denominators
+    from .huff import _dist2_sql, _gravity2_sql, hex_denominators
 
     sites = spark.table("sites")
     grid = spark.table("hex_grid")
@@ -671,48 +671,33 @@ def _grid_families_ring2(spark: SparkSession) -> DataFrame:
     joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner").join(
         F.broadcast(hex_denominators(spark)), "cell_id", "left"
     )
-    in1 = F.col("ring_k") <= 1
-
-    def r1(col):
-        return F.when(in1, col)
-
-    d2 = _dist2_miles(
-        F.col("lat"), F.col("lon"), F.col("centroid_lat"), F.col("centroid_lon")
+    # agg list as server-parsed expression strings (one py4j call per agg,
+    # not ~30 Column ops each — same logical plan, identical arithmetic to
+    # the former Column form; this list is ~0.8 s of driver time otherwise)
+    r1 = lambda c: f"CASE WHEN ring_k <= 1 THEN {c} END"  # noqa: E731
+    dr = lambda x, n: f"FLOOR(({x}) * 1e{n} + 0.5) / 1e{n}"  # noqa: E731  (dround twin; 1e{n} is a DOUBLE literal in Spark SQL)
+    g_site = _gravity2_sql(_dist2_sql("lat", "lon", "centroid_lat", "centroid_lon"))
+    share = (
+        f"({g_site}) / (COALESCE(denom, 0.0)"
+        f" + CASE WHEN site_type = 'candidate' THEN ({g_site}) ELSE 0.0 END)"
     )
-    g_site = _gravity2(d2)
-    share = g_site / (
-        F.coalesce(F.col("denom"), F.lit(0.0))
-        + F.when(F.col("site_type") == "candidate", g_site).otherwise(F.lit(0.0))
-    )
-    pop1 = F.sum(r1(F.col("population")))
-    return joined.groupBy("site_id").agg(
-        pop1.alias("population_1ring"),
-        dround(F.sum(r1(F.col("median_income") * F.col("population"))) / pop1, 4).alias(
-            "median_income_1ring"
-        ),
-        dround(F.sum(r1(F.col("target_demo_pct") * F.col("population"))) / pop1, 6).alias(
-            "target_demo_pct_1ring"
-        ),
-        dround(F.sum(r1(F.col("college_pct") * F.col("population"))) / pop1, 6).alias(
-            "college_pct_1ring"
-        ),
-        F.count(r1(F.lit(1))).alias("n_cells"),
-        dround(F.max(r1(F.col("pedestrian_traffic"))), 4).alias("max_pedestrian_traffic"),
-        dround(F.avg(r1(F.col("transit_score"))), 4).alias("avg_transit_score"),
-        dround(F.sum(r1(F.col("foot_traffic"))), 4).alias("foot_traffic_sum"),
-        dround(
-            F.sum(
-                r1(
-                    F.col("population")
-                    + F.coalesce(F.col("commute_inflow"), F.lit(0.0))
-                    - F.coalesce(F.col("commute_outflow"), F.lit(0.0))
-                )
-            ),
-            4,
-        ).alias("daytime_pop_1ring"),
-        dround(F.avg(share), 6).alias("huff_market_share"),
-        dround(F.sum(share * F.col("population")), 4).alias("huff_expected_demand"),
-    )
+    pop1 = "SUM(" + r1("population") + ")"
+    wsum = lambda c, n: dr("SUM(" + r1(c + " * population") + ") / " + pop1, n)  # noqa: E731
+    daytime = "population + COALESCE(commute_inflow, 0.0) - COALESCE(commute_outflow, 0.0)"
+    aggs = [
+        pop1 + " AS population_1ring",
+        wsum("median_income", 4) + " AS median_income_1ring",
+        wsum("target_demo_pct", 6) + " AS target_demo_pct_1ring",
+        wsum("college_pct", 6) + " AS college_pct_1ring",
+        "COUNT(" + r1("1") + ") AS n_cells",
+        dr("MAX(" + r1("pedestrian_traffic") + ")", 4) + " AS max_pedestrian_traffic",
+        dr("AVG(" + r1("transit_score") + ")", 4) + " AS avg_transit_score",
+        dr("SUM(" + r1("foot_traffic") + ")", 4) + " AS foot_traffic_sum",
+        dr("SUM(" + r1(daytime) + ")", 4) + " AS daytime_pop_1ring",
+        dr(f"AVG({share})", 6) + " AS huff_market_share",
+        dr(f"SUM(({share}) * population)", 4) + " AS huff_expected_demand",
+    ]
+    return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
 
 
 def _competition_rings(spark: SparkSession) -> DataFrame:
@@ -727,17 +712,16 @@ def _competition_rings(spark: SparkSession) -> DataFrame:
     )
     pairs = rings.ring_pairs(spark, sites, 3, with_ring=True)
     joined = pairs.join(comp, pairs.neighbor_h3 == comp.c_cell, "left")
-    in1 = F.col("ring_k") <= 1
-    return joined.groupBy("site_id").agg(
-        F.countDistinct(F.when(in1, F.col("competitor_id"))).alias("competitors_1ring"),
-        F.countDistinct(
-            F.when(in1 & (F.col("category") == "QSR_Burger"), F.col("competitor_id"))
-        ).alias("burger_competitors_1ring"),
-        F.countDistinct(
-            F.when(in1 & (F.col("category") == "Coffee"), F.col("competitor_id"))
-        ).alias("coffee_competitors_1ring"),
-        F.countDistinct("competitor_id").alias("competitors_3ring"),
-    )
+    aggs = [
+        "COUNT(DISTINCT CASE WHEN ring_k <= 1 THEN competitor_id END)"
+        " AS competitors_1ring",
+        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND category = 'QSR_Burger'"
+        " THEN competitor_id END) AS burger_competitors_1ring",
+        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND category = 'Coffee'"
+        " THEN competitor_id END) AS coffee_competitors_1ring",
+        "COUNT(DISTINCT competitor_id) AS competitors_3ring",
+    ]
+    return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
 
 
 def _poi_school_ring(spark: SparkSession) -> DataFrame:
@@ -750,23 +734,18 @@ def _poi_school_ring(spark: SparkSession) -> DataFrame:
     )
     pairs = rings.ring_pairs(spark, sites, 2, with_ring=True)
     joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
-    in1 = F.col("ring_k") <= 1
-    return joined.groupBy("site_id").agg(
-        F.countDistinct(F.when(in1, F.col("poi_id"))).alias("poi_1ring"),
-        F.countDistinct(
-            F.when(in1 & (F.col("size_class") == "anchor"), F.col("poi_id"))
-        ).alias("anchor_poi_1ring"),
-        F.countDistinct(
-            F.when(in1 & (F.col("category") == "office"), F.col("poi_id"))
-        ).alias("office_poi_count_1ring"),
-        dround(
-            F.sum(F.when(in1, F.coalesce(F.col("foot_traffic_index"), F.lit(0.0))).otherwise(0.0)),
-            4,
-        ).alias("total_foot_traffic_1ring"),
-        F.countDistinct(
-            F.when(F.col("category") == "school", F.col("poi_id"))
-        ).alias("school_count_2ring"),
-    )
+    aggs = [
+        "COUNT(DISTINCT CASE WHEN ring_k <= 1 THEN poi_id END) AS poi_1ring",
+        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND size_class = 'anchor'"
+        " THEN poi_id END) AS anchor_poi_1ring",
+        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND category = 'office'"
+        " THEN poi_id END) AS office_poi_count_1ring",
+        "FLOOR((SUM(CASE WHEN ring_k <= 1 THEN COALESCE(foot_traffic_index, 0.0)"
+        " ELSE 0.0 END)) * 1e4 + 0.5) / 1e4 AS total_foot_traffic_1ring",
+        "COUNT(DISTINCT CASE WHEN category = 'school' THEN poi_id END)"
+        " AS school_count_2ring",
+    ]
+    return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
 
 
 def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFrame:
