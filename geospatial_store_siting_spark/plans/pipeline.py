@@ -11,6 +11,9 @@ checkpointed Spark pipeline per the north rule:
 - each stage manifest records lineage (input stage names + row counts)
   and throughput (rows/sec, wall seconds) plus PER-PARTITION row counts
   (spark_partition_id groupBy — the skew fingerprint);
+- on a cluster with Iceberg on the classpath the stage checkpoint swaps
+  to real Iceberg snapshot commits via sources/iceberg.py (same pipeline
+  code; the adapter picks the catalog path when it resolves);
 - the module is a spark-submit entry point:
     spark-submit --py-files gss.zip -m geospatial_store_siting_spark.plans.pipeline
   (or `python -m ... --sf-dir /root/testdata/sf0.01`).

@@ -95,3 +95,32 @@ def read_manifest(sf_dir: str, name: str, defining_sql: str, root: str = DEFAULT
         with open(path) as f:
             return json.load(f)
     return None
+
+
+def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """The write→rename→manifest commit protocol for an arbitrary
+    DataFrame (the generic form of snapshot_table's SQL path; the Iceberg
+    adapter's fallback).  Returns a reader of the committed data; an
+    existing committed snapshot at ``path`` is reused."""
+    manifest = os.path.join(path, "_manifest.json")
+    if not os.path.exists(manifest):
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            df.write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            if os.path.exists(path):  # lost a race: another writer committed
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.rename(tmp, path)
+        if not os.path.exists(manifest):
+            committed = spark.read.parquet(path)
+            meta = {
+                "path": path,
+                "rows": committed.count(),
+                "committed_at": time.time(),
+                "schema": committed.schema.jsonValue(),
+            }
+            with open(manifest + f".tmp-{os.getpid()}", "w") as f:
+                json.dump(meta, f)
+            os.rename(manifest + f".tmp-{os.getpid()}", manifest)
+    return spark.read.parquet(path)

@@ -122,3 +122,30 @@ def test_cogroup_supply_balance(geo):
         assert abs(
             r["stores_per_competitor"] - r["n_stores"] / r["n_competitors"]
         ) < 1e-3
+
+
+def test_iceberg_adapter_falls_back_to_snapshots(geo, tmp_path):
+    import os
+
+    from geospatial_store_siting_spark.sources import iceberg, snapshots
+
+    assert iceberg.iceberg_available(geo) is False  # no catalog in sandbox
+    os.environ["SPARK_GRAFT_SNAPSHOT_DIR"] = str(tmp_path)
+    old_root = snapshots.DEFAULT_ROOT
+    snapshots.DEFAULT_ROOT = str(tmp_path)
+    try:
+        df = geo.table("sites").select("site_id", "metro").limit(50)
+        out = iceberg.write_stage(geo, df, "t_stage", "/root/testdata/sf0.001")
+        assert out.count() == 50
+        # committed manifest exists and a re-call reuses the snapshot
+        again = iceberg.write_stage(geo, df, "t_stage", "/root/testdata/sf0.001")
+        assert again.count() == 50
+        manifests = [
+            p for p, _, fs in os.walk(tmp_path) for f in fs if f == "_manifest.json"
+        ]
+        assert manifests
+        with pytest.raises(NotImplementedError):
+            iceberg.read_stage_version(geo, "t_stage", 1)
+    finally:
+        snapshots.DEFAULT_ROOT = old_root
+        os.environ.pop("SPARK_GRAFT_SNAPSHOT_DIR", None)
