@@ -149,3 +149,36 @@ def test_iceberg_adapter_falls_back_to_snapshots(geo, tmp_path):
     finally:
         snapshots.DEFAULT_ROOT = old_root
         os.environ.pop("SPARK_GRAFT_SNAPSHOT_DIR", None)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew handling evidence (complements the explicit salting of
+    operators/skew.py): a join with one hot key must come out of AQE as a
+    skew-split sort-merge join, not one straggler partition."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(400000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id")),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        right = spark.range(2000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = left.join(right, "k")
+        assert j.collect() is not None
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
