@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "school_ring2": _q(lambda s: features.school_ring(s, 2)),
         "property_features": _q(features.property_features),
         "cannibalization": _q(features.cannibalization),
+        "cannibalization_windowed": _q(features.cannibalization_windowed),
         # --- development-signal H3 layer (Phase-3 module) ---
         "dev_dominant_county": _q(dev_signals.dominant_county),
         "dev_signals_h3": _q(dev_signals.dev_signals_by_h3),
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "school_ring2": features.school_ring_oracle_sql(2),
         "property_features": features.property_features_oracle_sql(),
         "cannibalization": features.cannibalization_oracle_sql(),
+        "cannibalization_windowed": features.cannibalization_windowed_oracle_sql(),
         "dev_dominant_county": dev_signals.dominant_county_oracle_sql(),
         "dev_signals_h3": dev_signals.dev_signals_by_h3_oracle_sql(),
         "dev_signal_ring1": dev_signals.dev_signal_ring_oracle_sql(1),

@@ -242,9 +242,11 @@ def competition_distance(
         "category",
     )
     # broadcast only while the dim is provably small; above the gate the
-    # blocked join shuffles both sides (and competition_distance_windowed
-    # is the stated replacement — cell-prefix candidates, no metro block)
-    comp = F.broadcast(comp) if _dim_small(comp) else comp
+    # blocked join shuffles both sides (the assembly switches to
+    # competition_distance_windowed instead — cell-prefix candidates, no
+    # metro block; see location_features)
+    hint = "competitors" if competitors_df is None else None
+    comp = F.broadcast(comp) if _dim_small(comp, table_hint=hint) else comp
     pairs = sites.join(comp, sites.metro == F.col("c_metro"), "inner")
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
     pairs = pairs.withColumn("dist_miles", d)
@@ -300,6 +302,7 @@ GROUP BY site_id"""
 # depend on shipping the whole competitor/store table to every executor.
 BROADCAST_DIM_LIMIT = 1_000_000
 _DIM_CACHE_ATTR = "_gss_dim_count_cache"
+_TABLE_ROWS_ATTR = "_gss_table_rows"
 
 
 def invalidate_dim_cache(spark: SparkSession) -> None:
@@ -310,10 +313,28 @@ def invalidate_dim_cache(spark: SparkSession) -> None:
         getattr(spark, _DIM_CACHE_ATTR).clear()
 
 
-def _dim_small(df: DataFrame, limit: int | None = None) -> bool:
+def record_table_rows(spark: SparkSession, rows: dict[str, int]) -> None:
+    """Publish manifest-recorded row counts for the registered views
+    (sources/tables.py calls this from the snapshot manifests) so the
+    broadcast gate can decide without running a count() job."""
+    setattr(spark, _TABLE_ROWS_ATTR, dict(rows))
+
+
+def _dim_small(df: DataFrame, limit: int | None = None,
+               table_hint: str | None = None) -> bool:
     if limit is None:
         limit = BROADCAST_DIM_LIMIT  # read at call time (testable/tunable)
     spark = df.sparkSession
+    if table_hint is not None:
+        n = (getattr(spark, _TABLE_ROWS_ATTR, None) or {}).get(table_hint)
+        if n is not None:
+            # The manifest row count of the backing table is an upper bound
+            # on any filtered/projected dim derived from it: no count() job
+            # either way.  Above the limit this is conservative (a heavily
+            # filtered dim might still be small) — the non-broadcast plan
+            # is correct at any size, so conservatism is the scale-safe
+            # direction.
+            return n <= limit
     # Cache lives ON the SparkSession object (not a module global keyed by
     # id()): it dies with the session, a recycled id() can't alias two
     # sessions, and invalidate_dim_cache() clears it on view registration.
@@ -565,13 +586,14 @@ def cannibalization(
         .filter(F.col("site_type") == "store")
         .select(
             F.col("site_id").alias("store_id"),
-            F.col("metro").alias("s_metro"),
+            F.col("metro").alias("cb_metro"),
             F.col("lat").alias("s_lat"),
             F.col("lon").alias("s_lon"),
         )
     )
-    stores = F.broadcast(stores) if _dim_small(stores) else stores
-    pairs = sites.join(stores, sites.metro == F.col("s_metro"), "inner").filter(
+    hint = "sites" if stores_df is None else None
+    stores = F.broadcast(stores) if _dim_small(stores, table_hint=hint) else stores
+    pairs = sites.join(stores, sites.metro == F.col("cb_metro"), "inner").filter(
         F.col("site_id") != F.col("store_id")
     )
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))
@@ -602,6 +624,83 @@ pairs AS (
   SELECT s.site_id, {hav} AS dist_miles
   FROM sites s JOIN sites t
     ON s.metro = t.metro AND t.site_type = 'store' AND s.site_id <> t.site_id
+)
+SELECT site_id,
+       (FLOOR((SUM(CASE WHEN dist_miles <= {MILES}
+                      THEN 1.0 / (dist_miles * dist_miles + {GRAVITY_EPS})
+                      ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS cannibalization_risk,
+       (FLOOR((MIN(dist_miles)) * 10000.0 + 0.5) / 10000.0) AS nearest_own_store_miles
+FROM pairs
+GROUP BY site_id"""
+
+
+def cannibalization_windowed(spark: SparkSession) -> DataFrame:
+    """cannibalization without the metro block / full-store broadcast:
+    own-store candidates from the coarse-cell ring window, self-excluded —
+    the at-scale twin the assembly uses above BROADCAST_DIM_LIMIT.
+
+    cannibalization_risk is EXACT (the ring window strictly contains the
+    3-mile gravity radius); nearest_own_store_miles is window-bounded
+    (NULL → 0 after the assembly null-fill when no own store lies inside
+    the window) — the same documented contract as
+    competition_distance_windowed."""
+    stores = (
+        spark.table("sites")
+        .filter(F.col("site_type") == "store")
+        .select(
+            F.col("site_id").alias("store_id"),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+        )
+    )
+    cand = _coarse_ring_pairs(
+        spark,
+        spark.table("sites").select("site_id", "lat", "lon"),
+        stores,
+        ["store_id", "s_lat", "s_lon"],
+    ).filter(F.col("site_id") != F.col("store_id"))
+    d = haversine_col(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))
+    pairs = cand.withColumn("dist_miles", d)
+    return pairs.groupBy("site_id").agg(
+        dround(
+            F.sum(
+                F.when(
+                    F.col("dist_miles") <= MILES,
+                    1.0 / (F.col("dist_miles") * F.col("dist_miles") + F.lit(GRAVITY_EPS)),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("cannibalization_risk"),
+        dround(F.min("dist_miles"), 4).alias("nearest_own_store_miles"),
+    )
+
+
+def cannibalization_windowed_oracle_sql() -> str:
+    from .knn import COARSE_RES, _coarse_encode_subquery
+
+    sites_enc = _coarse_encode_subquery(
+        f"SELECT site_id, lat, lon FROM ({hex_sql.sites_sql()}) __s",
+        keep=["site_id", "lat", "lon"],
+    )
+    store_enc = _coarse_encode_subquery(
+        f"SELECT site_id AS store_id, lat AS s_lat, lon AS s_lon, lat, lon "
+        f"FROM ({hex_sql.sites_sql()}) __t WHERE site_type = 'store'",
+        keep=["store_id", "s_lat", "s_lon"],
+    )
+    ring = rings.ring_pairs_oracle_sql(
+        f"SELECT site_id, lat, lon, cq AS q, cr AS r FROM ({sites_enc}) __se",
+        WINDOW_RING_K,
+        extra_cols=["lat", "lon"],
+        res=COARSE_RES,
+    )
+    hav = hex_sql.haversine_miles_sql("rg.lat", "rg.lon", "st.s_lat", "st.s_lon")
+    return f"""
+WITH stores AS (SELECT store_id, s_lat, s_lon, coarse_cell FROM ({store_enc}) __ce),
+ring AS ({ring}),
+pairs AS (
+  SELECT rg.site_id, st.store_id, {hav} AS dist_miles
+  FROM ring rg JOIN stores st ON rg.neighbor_h3 = st.coarse_cell
+  WHERE rg.site_id <> st.store_id
 )
 SELECT site_id,
        (FLOOR((SUM(CASE WHEN dist_miles <= {MILES}
@@ -768,13 +867,28 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
     base = spark.table("sites").select(
         "site_id", "metro", "site_type", "drive_thru", "h3_res8"
     ).repartition("site_id")
+    # Distance families: the metro-blocked broadcast joins only below the
+    # broadcast gate (block key has ~5 distinct values — a skew/parallelism
+    # ceiling if it ever shuffles); above it the assembly switches to the
+    # windowed cell-prefix plans (high-cardinality hash joins, no metro
+    # key, no full-table broadcast).  The gate reads manifest row counts —
+    # no count() job at plan time.
+    if _dim_small(spark.table("competitors"), table_hint="competitors"):
+        dist_family = competition_distance(spark)
+    else:
+        dist_family = competition_distance_windowed(spark)
+    stores_dim = spark.table("sites").filter(F.col("site_type") == "store")
+    if _dim_small(stores_dim, table_hint="sites"):
+        cann_family = cannibalization(spark)
+    else:
+        cann_family = cannibalization_windowed(spark)
     out = (
         base.join(_grid_families_ring2(spark), "site_id", "left")
         .join(_competition_rings(spark), "site_id", "left")
-        .join(competition_distance(spark), "site_id", "left")
+        .join(dist_family, "site_id", "left")
         .join(_poi_school_ring(spark), "site_id", "left")
         .join(property_features(spark), "site_id", "left")
-        .join(cannibalization(spark), "site_id", "left")
+        .join(cann_family, "site_id", "left")
     )
     dev_cols: list[str] = []
     if dev_signals:

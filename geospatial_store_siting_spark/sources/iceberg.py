@@ -51,6 +51,7 @@ def write_stage(
     name: str,
     sf_dir: str,
     namespace: str = "stages",
+    content_key: str | None = None,
 ) -> DataFrame:
     """Checkpoint a stage table atomically; return a reader of the
     committed data.
@@ -66,13 +67,28 @@ def write_stage(
         return spark.table(ident)
     from . import snapshots
 
-    # content key: the stage name + analyzed-plan text (same invalidation
-    # contract as the SQL-defined snapshot views)
-    plan_text = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-    path = os.path.join(
-        snapshots.DEFAULT_ROOT, snapshots._key(sf_dir, name, plan_text)  # noqa: SLF001
-    )
+    path = stage_path(df, name, sf_dir, content_key)
     return snapshots.commit_dataframe(spark, df, path)
+
+
+def stage_path(
+    df: DataFrame, name: str, sf_dir: str, content_key: str | None = None
+) -> str:
+    """Fallback snapshot directory for a stage table.
+
+    Content key: pass a stable ``content_key`` (e.g. the defining SQL, as
+    snapshot_table does) when one exists; otherwise the analyzed plan's
+    ``semanticHash`` is used — it normalizes expression IDs, so the same
+    plan hashes identically across sessions (the raw plan string embeds
+    per-session exprIds like ``site_id#123L`` and would never reuse a
+    snapshot across sessions, accumulating stale directories)."""
+    from . import snapshots
+
+    if content_key is None:
+        content_key = str(df._jdf.queryExecution().analyzed().semanticHash())  # noqa: SLF001
+    return os.path.join(
+        snapshots.DEFAULT_ROOT, snapshots._key(sf_dir, name, content_key)  # noqa: SLF001
+    )
 
 
 def read_stage_version(

@@ -81,17 +81,26 @@ def register_geo_views(
     back to cached logical views (used when sf_dir is unknown).
     """
     from . import snapshots
-    from ..operators.features import invalidate_dim_cache
+    from ..operators.features import invalidate_dim_cache, record_table_rows
 
     invalidate_dim_cache(spark)
     out = {}
+    rows: dict[str, int] = {}
     for name, sql_fn in all_views().items():
         if materialize and sf_dir:
             df = snapshots.snapshot_table(spark, name, sql_fn(), sf_dir)
+            meta = snapshots.read_manifest(sf_dir, name, sql_fn())
+            if meta and "rows" in meta:
+                rows[name] = int(meta["rows"])
         else:
             df = spark.sql(sql_fn()).cache()
         df.createOrReplaceTempView(name)
         out[name] = df
+    # manifest stats feed the broadcast gate (operators/features._dim_small):
+    # deciding broadcast-vs-windowed never runs a count() job over
+    # snapshot-backed tables.  Replaced wholesale per registration, so a
+    # re-load at another scale factor can't leave stale counts behind.
+    record_table_rows(spark, rows)
     return out
 
 
