@@ -116,6 +116,16 @@ def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _qsf(fn) -> Callable[[SparkSession, str], DataFrame]:
+    """Like _q but forwards sf_dir — for operators that stage durable
+    intermediates (content-keyed snapshots under the engine's stage root)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- hex feature engineering (SURVEY §2.3 J1-J9, §2.4) ---
@@ -144,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_candidates": _q(scoring.score_candidates),
         "top5_per_metro": _q(scoring.top_candidates_per_metro),
         "metro_summary": _q(scoring.metro_summary),
+        "phase_summary": _q(scoring.phase_summary),
         # --- interleaved documents: geotagged-span extraction (input_hint) ---
         "geotagged_spans": _q(documents.geotagged_spans),
         "doc_cells": _q(documents.doc_cells),
@@ -156,9 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deduplication ---
         "dedup_exact": _q(dedup.exact_dedup),
         "dedup_keep_documents": _q(dedup.dedup_keep_documents),
-        "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs),
-        "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs),
+        "dedup_ngram_jaccard": _qsf(lambda s, d: dedup.ngram_jaccard_pairs(s, sf_dir=d)),
+        "dedup_minhash_lsh": _qsf(lambda s, d: dedup.minhash_lsh_pairs(s, sf_dir=d)),
         "dedup_simhash": _q(dedup.simhash),
+        "dedup_simhash_pairs": _qsf(lambda s, d: dedup.simhash_pairs(s, sf_dir=d)),
         # APPROXIMATE (banded-LSH candidates, recall ≈0.85 at cosine 0.35,
         # →1 as cosine →1); the complete-baseline is _exact below.
         "dedup_embedding_cosine": _q(dedup.embedding_near_dup),
@@ -197,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "zonal_stats": _q(zonal.zonal_stats),
         "salted_span_counts": _q(skew.salted_span_counts),
+        "salted_topk_docs": _q(skew.salted_topk_docs),
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
         "huff_beta_calibration": _q(ml.calibrate_huff_beta),
         "ml_predictions": _q(ml.model_predictions),
@@ -209,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_summary": _q(encode.feature_summary),
         "hex_string_ids": _q(encode.hex_string_ids),
         # --- interactive app query surface (app/main.py semantics) ---
+        "app_metros": _q(app_queries.app_metros),
         "app_scored_filtered": _q(
             lambda s: app_queries.scored_locations(s, metro="Chicago", tier=None, limit=200)
         ),
@@ -296,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "score_candidates": scoring.score_candidates_oracle_sql(),
         "top5_per_metro": scoring.top_candidates_per_metro_oracle_sql(),
         "metro_summary": scoring.metro_summary_oracle_sql(),
+        "phase_summary": scoring.phase_summary_oracle_sql(),
         "geotagged_spans": documents.geotagged_spans_oracle_sql(),
         "doc_cells": documents.doc_cells_oracle_sql(),
         "text_stats": text_ops.text_stats_oracle_sql(),
@@ -308,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle_sql(),
         "dedup_simhash": dedup.simhash_oracle_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),
         "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
         "ann_lsh_topk": similarity.ann_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),
@@ -336,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_index_assignments": pip.pip_assignments_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
+        "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),
         # ml_predictions / media_feature_summary: intentionally no oracle
         # (iterative ML / binary kernels) — rows-only
         "huff_beta_calibration": ml.calibrate_huff_beta_oracle_sql(),
@@ -344,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_by_metro": encode.percentile_by_metro_oracle_sql(),
         "feature_summary": encode.feature_summary_oracle_sql(),
         "hex_string_ids": encode.hex_string_ids_oracle_sql(),
+        "app_metros": app_queries.app_metros_oracle_sql(),
         "app_scored_filtered": app_queries.scored_locations_oracle_sql("Chicago", 200),
         "app_heatmap": app_queries.competition_heatmap_oracle_sql(41.5, 42.3, -88.0, -87.2),
         "app_similar_locations": app_queries.similar_locations_oracle_sql(42),

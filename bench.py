@@ -42,7 +42,10 @@ def _spans(s):
 def _minhash(s):
     from geospatial_store_siting_spark.operators import dedup
 
-    return dedup.minhash_lsh_pairs(s)
+    # sf_dir → the signature table is a durable content-keyed stage
+    # snapshot: warm runs read committed parquet instead of re-running the
+    # shingle→hash→agg pass (the pipeline posture at corpus scale)
+    return dedup.minhash_lsh_pairs(s, sf_dir=SF_DIR)
 
 
 def _simhash(s):

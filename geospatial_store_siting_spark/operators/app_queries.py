@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exprs import dround
 from . import rings
-from .scoring import score_candidates
+from .scoring import scored_view
 
 
 def scored_locations(
@@ -39,7 +39,7 @@ def scored_locations(
 ) -> DataFrame:
     """Dynamic filter assembly — only requested predicates enter the plan,
     so partition pruning / pushdown see literal filters (P13)."""
-    df = score_candidates(spark)
+    df = scored_view(spark)
     if metro is not None:
         df = df.filter(F.col("metro") == metro)
     if tier is not None:
@@ -47,13 +47,32 @@ def scored_locations(
     return df.orderBy(F.desc("predicted_annual_sales"), F.asc("site_id")).limit(limit)
 
 
-def location_detail(spark: SparkSession, site_id: int) -> DataFrame:
-    """Point lookup: features ⋈ scored with the site filter PUSHED under
-    both join inputs (J11)."""
-    from .features import location_features
+def app_metros(spark: SparkSession) -> DataFrame:
+    """Startup metro discovery (`/root/reference/app/main.py:111-119`):
+    SELECT DISTINCT metro FROM scored_locations ORDER BY metro — reads the
+    committed scored stage when one exists (scored_view)."""
+    return scored_view(spark).select("metro").distinct().orderBy("metro")
 
-    feats = location_features(spark).filter(F.col("site_id") == site_id)
-    scored = score_candidates(spark).select("site_id", "predicted_annual_sales", "percentile", "tier")
+
+def app_metros_oracle_sql() -> str:
+    from .scoring import score_candidates_oracle_sql
+
+    return f"""
+SELECT DISTINCT metro FROM ({score_candidates_oracle_sql()}) __s ORDER BY metro"""
+
+
+def location_detail(
+    spark: SparkSession, site_id: int, features_df: DataFrame | None = None
+) -> DataFrame:
+    """Point lookup: features ⋈ scored with the site filter PUSHED under
+    both join inputs (J11).  Reads the pipeline's committed gold tables
+    when available (features.gold_features) — the reference app queries
+    gold.location_features, it does not re-derive the feature plan per
+    request (`app/main.py:179-192`)."""
+    from .features import gold_features
+
+    feats = gold_features(spark, features_df).filter(F.col("site_id") == site_id)
+    scored = scored_view(spark).select("site_id", "predicted_annual_sales", "percentile", "tier")
     return feats.join(scored, "site_id", "left")
 
 
@@ -90,16 +109,19 @@ FEATURE_VEC_COLS = [
 ]
 
 
-def similar_locations(spark: SparkSession, site_id: int, k: int = 15) -> DataFrame:
+def similar_locations(
+    spark: SparkSession, site_id: int, k: int = 15,
+    features_df: DataFrame | None = None,
+) -> DataFrame:
     """Top-k feature-space cosine neighbors of a site.
 
     The reference collects every feature row into the app process and
     loops in Python (`app/main.py:603-647`); here: global standardization
     stats (one agg), z-scored vectors, the probe row broadcast, cosine as
     a native expression, top-k via TakeOrderedAndProject."""
-    from .features import location_features
+    from .features import gold_features
 
-    feats = location_features(spark).select("site_id", "metro", *FEATURE_VEC_COLS)
+    feats = gold_features(spark, features_df).select("site_id", "metro", *FEATURE_VEC_COLS)
     stats = feats.agg(
         *[F.avg(c).alias(f"mu_{c}") for c in FEATURE_VEC_COLS],
         *[F.stddev(c).alias(f"sd_{c}") for c in FEATURE_VEC_COLS],
@@ -269,7 +291,7 @@ def flagged_sites(spark: SparkSession, path: str) -> DataFrame:
 def flagged_with_scores(spark: SparkSession, path: str) -> DataFrame:
     """Presentation join (J12): flagged ⋉ scored, left."""
     return flagged_sites(spark, path).join(
-        score_candidates(spark).select("site_id", "predicted_annual_sales", "tier"),
+        scored_view(spark).select("site_id", "predicted_annual_sales", "tier"),
         "site_id",
         "left",
     )
@@ -461,7 +483,9 @@ CI_FEATURES = [
 CI_TOP_K = 15
 
 
-def confidence_intervals(spark: SparkSession, site_id: int) -> DataFrame:
+def confidence_intervals(
+    spark: SparkSession, site_id: int, features_df: DataFrame | None = None
+) -> DataFrame:
     """Sales percentile CI over the K most feature-similar existing stores.
 
     The reference collects all store feature rows and loops in Python
@@ -470,9 +494,9 @@ def confidence_intervals(spark: SparkSession, site_id: int) -> DataFrame:
     row_number cut, and the percentiles are one exact-percentile agg.
     Ranking uses the squared distance (sqrt is monotonic) with a site_id
     tiebreak so the cut is engine-deterministic."""
-    from .features import location_features
+    from .features import gold_features
 
-    feats = location_features(spark)
+    feats = gold_features(spark, features_df)
     cand = feats.filter(F.col("site_id") == site_id).select(
         *[F.col(c).alias(f"c_{c}") for c in CI_FEATURES]
     )
@@ -679,15 +703,17 @@ ORDER BY value DESC, h3_index ASC
 LIMIT {limit}"""
 
 
-def compare_sites(spark: SparkSession, site_ids: list[int]) -> DataFrame:
+def compare_sites(
+    spark: SparkSession, site_ids: list[int], features_df: DataFrame | None = None
+) -> DataFrame:
     """Batch compare (`app/main.py:282-305`): features ⋈ scored for an
     IN-list of 1-4 sites (P7 + J12)."""
-    from .features import location_features
+    from .features import gold_features
 
     if not site_ids or len(site_ids) > 4:
         raise ValueError("Provide 1-4 site_ids")
-    feats = location_features(spark).filter(F.col("site_id").isin(*site_ids))
-    scored = score_candidates(spark).select(
+    feats = gold_features(spark, features_df).filter(F.col("site_id").isin(*site_ids))
+    scored = scored_view(spark).select(
         "site_id", "predicted_annual_sales", "percentile", "tier"
     )
     return feats.join(scored, "site_id", "left").orderBy("site_id")
@@ -708,14 +734,16 @@ WHERE f.site_id IN ({ids})
 ORDER BY f.site_id"""
 
 
-def scoring_features(spark: SparkSession, site_id: int) -> DataFrame:
+def scoring_features(
+    spark: SparkSession, site_id: int, features_df: DataFrame | None = None
+) -> DataFrame:
     """Model-ready feature vector in the persisted training column order
     (`app/main.py:653-686`): the feature row UNPIVOTED through
     gold.model_feature_columns so serving order == training order."""
     from .encode import model_feature_columns, model_feature_column_names, one_hot_features
-    from .features import location_features
+    from .features import gold_features
 
-    feats = location_features(spark).filter(F.col("site_id") == site_id)
+    feats = gold_features(spark, features_df).filter(F.col("site_id") == site_id)
     # drop drive_thru from the one-hot side: the assembly base already
     # carries it and a duplicate name breaks the unpivot reference
     feats = feats.join(one_hot_features(spark).drop("drive_thru"), "site_id", "left")

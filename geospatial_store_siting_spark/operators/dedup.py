@@ -75,6 +75,25 @@ CROSS JOIN (SELECT * FROM (VALUES {idx}) AS __pos(i)) o
 WHERE o.i <= {tk} - {N_SHINGLE_WORDS - 1}"""
 
 
+def _stage_or_checkpoint(
+    spark: SparkSession, df: DataFrame, name: str, content_sql: str,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Materialize a doc-level intermediate that feeds multiple plan
+    branches.  With a known data dir: a DURABLE Iceberg/parquet stage
+    snapshot (sources/iceberg.write_stage), content-keyed on the defining
+    oracle SQL — stable across sessions (warm runs read the committed
+    parquet; an algorithm change produces a new key), and it survives
+    executor loss, unlike localCheckpoint's deserialized executor-memory
+    blocks.  Without one (ad-hoc plans over unregistered inputs): eager
+    localCheckpoint, reclaimed on plan GC."""
+    if sf_dir:
+        from ..sources import iceberg
+
+        return iceberg.write_stage(spark, df, name, sf_dir, content_key=content_sql)
+    return df.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -103,14 +122,23 @@ GROUP BY fp"""
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.35) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, threshold: float = 0.35, sf_dir: str | None = None
+) -> DataFrame:
     """Candidate pairs from a shingle inverted index, scored with exact
     Jaccard over distinct shingles.  DF-capped postings bound the join.
     The distinct shingle set feeds four consumers (sizes, DF filter, both
-    posting sides) — localCheckpoint'ed so the explode+distinct runs once
-    and the blocks are ContextCleaner-reclaimed when the plan is GC'd
-    (persist would pin cache for the whole session)."""
-    sh = shingles(spark).distinct().localCheckpoint(eager=True)
+    posting sides) — materialized once: a durable content-keyed stage
+    snapshot when ``sf_dir`` is known, else an eager localCheckpoint
+    (blocks ContextCleaner-reclaimed when the plan is GC'd; persist would
+    pin cache for the whole session)."""
+    sh = _stage_or_checkpoint(
+        spark,
+        shingles(spark).distinct(),
+        "distinct_shingles",
+        f"SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s",
+        sf_dir,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
     postings = sh.join(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP),
@@ -225,18 +253,24 @@ FROM (
 GROUP BY doc_id"""
 
 
-def minhash_lsh_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, threshold: float = 0.5, sf_dir: str | None = None
+) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidates; the
     estimated similarity = fraction of agreeing minhash components.
 
     The signature table feeds three consumers (band buckets + both sides
-    of the signature join): it is localCheckpoint'ed so the
-    shingle→hash→agg plan executes ONCE (doc-level rows — tiny next to
-    the corpus) and the blocks are reclaimed on GC rather than pinned for
-    the session, and the band table is a single generator explode rather
-    than a UNION of per-band selects (which would re-execute the
-    signature plan per band)."""
-    sig = minhash_signatures(spark).localCheckpoint(eager=True)
+    of the signature join): it is materialized ONCE — as a durable stage
+    snapshot when ``sf_dir`` is known (the at-scale form: warm runs skip
+    the shingle→hash→agg pass entirely and the table survives executor
+    death), else an eager localCheckpoint (blocks reclaimed on plan GC
+    rather than pinned for the session).  The band table is a single
+    generator explode rather than a UNION of per-band selects (which
+    would re-execute the signature plan per band)."""
+    sig = _stage_or_checkpoint(
+        spark, minhash_signatures(spark), "minhash_signatures",
+        minhash_signatures_sql(), sf_dir,
+    )
     per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = F.array(
         *[
@@ -402,6 +436,76 @@ WITH tok AS (
   WHERE o.i <= {tk}
 ),
 {_simhash_tail_sql()}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash pair application: banded hamming-ball bucket join
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4×15-bit segments of the 60-bit signature
+SIMHASH_MAX_HAMMING = 3  # banding is EXACT for <= SIMHASH_BANDS - 1 bits
+
+
+def simhash_pairs(
+    spark: SparkSession,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs from the 60-bit SimHash signatures: band each
+    signature into 4×15-bit segments, bucket-join docs agreeing on any
+    segment (the minhash banding plan, one generator explode + one
+    equi-join), then refine with the exact hamming distance
+    ``bit_count(sig_a ^ sig_b)``.
+
+    EXACT, not approximate, for ``max_hamming <= SIMHASH_BANDS - 1``: by
+    pigeonhole, <= 3 differing bits can touch at most 3 of the 4 bands,
+    so every qualifying pair agrees on at least one full band and
+    collides in its bucket — the banded plan is a lossless optimization
+    of the all-pairs oracle (which DuckDB runs directly).  Scale shape:
+    no all-pairs on the Spark side, no corpus broadcast; one shuffle on
+    the (band, segment) key, candidates refined with an integer popcount."""
+    sig = _stage_or_checkpoint(
+        spark, simhash(spark), "simhash_signatures", simhash_oracle_sql(), sf_dir
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {15 * b}) % 32768").alias("segment"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.segment").alias("segment")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "segment"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """All-pairs form — complete by construction; the Spark side's banded
+    plan must reproduce it exactly (see simhash_pairs docstring)."""
+    return f"""
+WITH sig AS ({simhash_oracle_sql()})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
 
 
 EMB_LSH_BANDS = 4  # bands of N_PLANES/EMB_LSH_BANDS sign-projection planes

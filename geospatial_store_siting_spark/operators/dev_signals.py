@@ -345,9 +345,17 @@ FROM agg"""
 
 def dev_signal_ring(spark: SparkSession, k: int = 1) -> DataFrame:
     """The 8 DEV_SIGNAL_FEATURES of `_config.py:133-141` as k-ring means
-    (`10_feature_engineering.py:703-741`)."""
+    (`10_feature_engineering.py:703-741`).
+
+    The zip→county→H3 crosswalk chain behind dev_signals_by_h3 is a
+    pipeline stage; when a committed stage table exists this reads it
+    (one parquet scan) instead of rebuilding the whole chain per query —
+    the interactive-surface scale contract."""
+    from ..sources.tables import stage_view
+
     sites = spark.table("sites")
-    dev = dev_signals_by_h3(spark)
+    staged = stage_view(spark, "dev_signals_by_h3")
+    dev = staged if staged is not None else dev_signals_by_h3(spark)
     pairs = rings.ring_pairs(spark, sites, k)
     joined = pairs.join(dev, pairs.neighbor_h3 == dev.h3_res8, "left")
     return joined.groupBy("site_id").agg(

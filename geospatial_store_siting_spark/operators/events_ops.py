@@ -256,19 +256,31 @@ def asof_last_view(
 def asof_last_view_oracle_sql(
     left_type: str = "purchase", right_type: str = "view"
 ) -> str:
+    """Deterministic merge-asof twin.  DuckDB's native ASOF JOIN picks an
+    ARBITRARY right row when two share the maximal earlier ets, while the
+    Spark window plan deterministically picks the max event_id — so the
+    oracle uses an explicit ROW_NUMBER formulation (max ets, then max
+    event_id) that agrees with the engine even on duplicate-(user, ts)
+    right-side events."""
     return f"""
 WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ets, value
            FROM events WHERE event_type = '{left_type}'),
      r AS (SELECT event_id, user_id, epoch_us(ts) AS ets, value
-           FROM events WHERE event_type = '{right_type}')
+           FROM events WHERE event_type = '{right_type}'),
+m AS (
+  SELECT l.event_id AS lid, r.event_id AS rid, r.value AS rval, r.ets AS rets,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ets DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND l.ets > r.ets
+)
 SELECT l.event_id AS {left_type}_event_id,
        l.user_id,
        l.ets AS {left_type}_epoch_us,
        l.value AS {left_type}_value,
-       r.event_id AS {right_type}_event_id,
-       r.value AS {right_type}_value,
-       l.ets - r.ets AS micros_since
-FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ets > r.ets"""
+       m.rid AS {right_type}_event_id,
+       m.rval AS {right_type}_value,
+       l.ets - m.rets AS micros_since
+FROM l LEFT JOIN m ON l.event_id = m.lid AND m.rn = 1"""
 
 
 # Deterministic maintenance-window dimension for the interval join: 256

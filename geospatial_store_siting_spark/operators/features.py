@@ -353,12 +353,15 @@ WINDOW_RING_K = 5  # res-7 ring radius for windowed distance features
 
 
 def _coarse_ring_pairs(
-    spark: SparkSession, left: DataFrame, right: DataFrame, right_cols: list
+    spark: SparkSession, left: DataFrame, right: DataFrame, right_cols: list,
+    id_col: str = "site_id",
 ) -> DataFrame:
     """Cell-prefix candidate generation (the 100-TB distance-join plan):
     ring-K of the left side's coarse res-7 cell equi-joined to the right
     side's coarse cell — a hash join on a high-cardinality uniform key.
-    No metro blocking, no broadcast of a full table."""
+    No metro blocking, no broadcast of a full table.  ``right_cols`` is
+    [id, lat, lon, ...] of the right side; the left side must carry
+    (id_col, lat, lon)."""
     from .knn import COARSE_RES, _with_coarse_qr
 
     l = _with_coarse_qr(left).withColumnRenamed("cq", "q").withColumnRenamed("cr", "r")
@@ -366,7 +369,9 @@ def _coarse_ring_pairs(
         *right_cols,
         rings.neighbor_cell_col(F.col("cq"), F.col("cr"), COARSE_RES).alias("r_coarse"),
     )
-    ring = rings.ring_pairs(spark, l, WINDOW_RING_K, extra_cols=["lat", "lon"], res=COARSE_RES)
+    ring = rings.ring_pairs(
+        spark, l, WINDOW_RING_K, id_col=id_col, extra_cols=["lat", "lon"], res=COARSE_RES
+    )
     return ring.join(r, ring.neighbor_h3 == r.r_coarse, "inner")
 
 
@@ -760,7 +765,7 @@ def _grid_families_ring2(spark: SparkSession) -> DataFrame:
     per-distinct-cell denominator broadcast back exactly as in
     operators/huff.py.  One ring expansion + one grid join + one hash agg
     instead of two of each."""
-    from .huff import _dist2_sql, _gravity2_sql, hex_denominators
+    from .huff import _dist2_sql, _gravity2_sql, denominators_for_join
 
     sites = spark.table("sites")
     grid = spark.table("hex_grid")
@@ -768,7 +773,7 @@ def _grid_families_ring2(spark: SparkSession) -> DataFrame:
         spark, sites, 2, extra_cols=["lat", "lon", "site_type"], with_ring=True
     )
     joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner").join(
-        F.broadcast(hex_denominators(spark)), "cell_id", "left"
+        denominators_for_join(spark), "cell_id", "left"
     )
     # agg list as server-parsed expression strings (one py4j call per agg,
     # not ~30 Column ops each — same logical plan, identical arithmetic to
@@ -900,28 +905,54 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
         ring = dev_signal_ring(spark, 1)
         dev_cols = [c for c in ring.columns if c != "site_id"]
         out = out.join(ring, "site_id", "left")
-    for c in FILL_ZERO + dev_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
-    # derived features — the reference formulas (L791-803)
-    out = out.withColumn(
-        "trade_area_quality",
-        dround(
-            F.col("median_income_1ring") / 100000.0 * 0.3
-            + F.col("max_pedestrian_traffic") / 100000.0 * 0.3
-            + F.col("population_1ring") / 50000.0 * 0.4,
-            6,
-        ),
-    ).withColumn(
-        "market_saturation",
-        dround(
-            F.when(
-                F.col("population_1ring") > 0,
-                F.col("competitors_3ring") / F.col("population_1ring") * 10000.0,
-            ).otherwise(F.lit(0.0)),
-            6,
-        ),
+    # ONE selectExpr for the null-fill contract + derived features: a
+    # withColumn per filled column is ~30 py4j round trips and 30 stacked
+    # Project nodes for the analyzer; the string list parses server-side
+    # in a single call with identical arithmetic (derived formulas inline
+    # the COALESCE exactly as the oracle SQL does — L791-803)
+    # CAST(... AS DOUBLE): a bare 0.0 parses as DECIMAL(1,1) in Spark SQL
+    # (unlike F.lit(0.0)) and COALESCE(BIGINT, DECIMAL) silently widens the
+    # count columns to DECIMAL — the oracle compares them as DOUBLE
+    fill = set(FILL_ZERO + dev_cols)
+    cols = [
+        f"CAST(COALESCE({c}, 0.0) AS DOUBLE) AS {c}" if c in fill else c
+        for c in out.columns
+    ]
+    taq = (
+        "FLOOR((COALESCE(median_income_1ring, 0.0) / 100000.0 * 0.3"
+        " + COALESCE(max_pedestrian_traffic, 0.0) / 100000.0 * 0.3"
+        " + COALESCE(population_1ring, 0.0) / 50000.0 * 0.4) * 1e6 + 0.5) / 1e6"
+        " AS trade_area_quality"
     )
-    return out
+    ms = (
+        "FLOOR((CASE WHEN COALESCE(population_1ring, 0.0) > 0"
+        " THEN COALESCE(competitors_3ring, 0.0) / population_1ring * 10000.0"
+        " ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS market_saturation"
+    )
+    return out.selectExpr(*cols, taq, ms)
+
+
+def gold_features(
+    spark: SparkSession,
+    features_df: DataFrame | None = None,
+    dev_signals: bool = False,
+) -> DataFrame:
+    """Resolve gold.location_features the way the reference app does:
+    an explicit DataFrame wins, else the pipeline's COMMITTED stage table
+    (plans/pipeline.py publishes it via sources/tables.register_stage_view),
+    else recompute the feature plan (ad-hoc sessions with no pipeline run).
+
+    The stage table is built without dev signals, so a dev_signals=True
+    request always recomputes."""
+    if features_df is not None:
+        return features_df
+    if not dev_signals:
+        from ..sources.tables import stage_view
+
+        staged = stage_view(spark, "location_features")
+        if staged is not None:
+            return staged
+    return location_features(spark, dev_signals=dev_signals)
 
 
 def location_features_oracle_sql() -> str:

@@ -108,7 +108,10 @@ def metro_supply_balance(spark: SparkSession) -> DataFrame:
                 "n_stores": [n_s],
                 "n_competitors": [n_c],
                 "median_store_sales": [r4(med)],
-                "stores_per_competitor": [r4(n_s / n_c) if n_c else None],
+                # None when EITHER side is empty: a metro with competitors
+                # but no store row reaches the oracle's FULL OUTER join with
+                # NULL n_stores, so its division is NULL — not 0.0
+                "stores_per_competitor": [r4(n_s / n_c) if (n_c and n_s) else None],
             }
         )
 

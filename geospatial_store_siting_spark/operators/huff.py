@@ -71,8 +71,25 @@ def supply_df(spark: SparkSession) -> DataFrame:
     return stores.unionByName(comp)
 
 
+def _supply_small(spark: SparkSession) -> bool:
+    from .features import _dim_small
+
+    return _dim_small(spark.table("sites"), table_hint="sites") and _dim_small(
+        spark.table("competitors"), table_hint="competitors"
+    )
+
+
 def hex_denominators(spark: SparkSession) -> DataFrame:
-    """Per-hex total supply gravity (the Huff denominator), blocked by metro."""
+    """Per-hex total supply gravity (the Huff denominator).
+
+    Below the broadcast gate: metro-blocked join with the supply dim
+    broadcast (the reference notes ~376 supply rows, L639-646).  Above it:
+    the windowed cell-prefix plan — EXACT here, unlike the nearest-distance
+    families, because the denominator is radius-filtered (dist ≤ 3 mi) and
+    the ring window strictly contains that radius, so both plans see the
+    identical pair set."""
+    if not _supply_small(spark):
+        return hex_denominators_windowed(spark)
     cells = spark.table("hex_grid").select(
         "cell_id", "metro", "centroid_lat", "centroid_lon", "population"
     )
@@ -81,13 +98,44 @@ def hex_denominators(spark: SparkSession) -> DataFrame:
         F.col("lat").alias("s_lat"),
         F.col("lon").alias("s_lon"),
     )
-    # (broadcast: supply is dims-scale — reference notes ~376 rows, L639-646)
     pairs = cells.join(F.broadcast(sup), cells.metro == sup.s_metro, "inner")
     d2 = _dist2_miles(
         F.col("centroid_lat"), F.col("centroid_lon"), F.col("s_lat"), F.col("s_lon")
     )
     pairs = pairs.withColumn("dist2", d2).filter(F.col("dist2") <= MILES * MILES)
     return pairs.groupBy("cell_id").agg(F.sum(_gravity2(F.col("dist2"))).alias("denom"))
+
+
+def hex_denominators_windowed(spark: SparkSession) -> DataFrame:
+    """The at-scale denominator: each SUPPLY point (the small side) is
+    ring-expanded at the coarse res and equi-joined to the cell's coarse
+    parent — a high-cardinality hash join, no metro block, no broadcast.
+    Exact (see hex_denominators): the window ⊃ the 3-mile radius filter."""
+    from .features import _coarse_ring_pairs
+
+    sup = supply_df(spark).select("supply_id", "lat", "lon")
+    cells = spark.table("hex_grid").select(
+        "cell_id",
+        F.col("centroid_lat").alias("c_lat"),
+        F.col("centroid_lon").alias("c_lon"),
+    )
+    cand = _coarse_ring_pairs(
+        spark, sup, cells, ["cell_id", "c_lat", "c_lon"], id_col="supply_id"
+    )
+    d2 = _dist2_miles(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
+    pairs = cand.withColumn("dist2", d2).filter(F.col("dist2") <= MILES * MILES)
+    return pairs.groupBy("cell_id").agg(F.sum(_gravity2(F.col("dist2"))).alias("denom"))
+
+
+def denominators_for_join(spark: SparkSession) -> DataFrame:
+    """hex_denominators with the broadcast gate applied (manifest stats,
+    no count() job): broadcast only while the grid is provably small."""
+    from .features import _dim_small
+
+    denom = hex_denominators(spark)
+    if _dim_small(spark.table("hex_grid"), table_hint="hex_grid"):
+        return F.broadcast(denom)
+    return denom
 
 
 def huff_features(spark: SparkSession) -> DataFrame:
@@ -103,9 +151,12 @@ def huff_features(spark: SparkSession) -> DataFrame:
     d2 = _dist2_miles(F.col("lat"), F.col("lon"), F.col("centroid_lat"), F.col("centroid_lon"))
     j = j.withColumn("g_site", _gravity2(d2))
     # denominators are |distinct cells| rows (grid-scale, not pair-scale):
-    # broadcast so the pair side never shuffles (pre-AQE stats would
-    # otherwise plan a SortMergeJoin exchanging the big side)
-    j = j.join(F.broadcast(hex_denominators(spark)), "cell_id", "left")
+    # broadcast while the grid is provably small so the pair side never
+    # shuffles; above the gate a grid-scale table must NOT ship to every
+    # executor — the plain equi-join shuffles both sides on the
+    # high-cardinality cell key instead
+    denom = denominators_for_join(spark)
+    j = j.join(denom, "cell_id", "left")
     share = F.col("g_site") / (
         F.coalesce(F.col("denom"), F.lit(0.0))
         + F.when(F.col("site_type") == "candidate", F.col("g_site")).otherwise(F.lit(0.0))

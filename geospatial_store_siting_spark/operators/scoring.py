@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dround
-from .features import location_features, location_features_oracle_sql
+from .features import gold_features, location_features_oracle_sql
 
 # (name, weight) — deterministic linear scorer over engineered features
 SCORE_WEIGHTS = [
@@ -46,10 +46,11 @@ def predicted_sales_col():
 def score_candidates(spark: SparkSession, features_df: DataFrame | None = None) -> DataFrame:
     """gold.scored_locations: candidates only, percentile + tier.
 
-    ``features_df`` lets the pipeline feed the CHECKPOINTED feature
-    snapshot instead of recomputing the feature plan (plans/pipeline.py)."""
-    base = features_df if features_df is not None else location_features(spark)
-    feats = base.filter(F.col("site_type") == "candidate")
+    ``features_df`` lets a caller feed an explicit feature table; with no
+    argument the resolver prefers the pipeline's COMMITTED feature snapshot
+    and only recomputes the feature plan when none exists
+    (features.gold_features)."""
+    feats = gold_features(spark, features_df).filter(F.col("site_type") == "candidate")
     scored = feats.select(
         "site_id", "metro", predicted_sales_col().alias("predicted_annual_sales")
     )
@@ -97,10 +98,22 @@ SELECT site_id, metro, predicted_annual_sales, percentile,
 FROM ({_scored_oracle_core()}) __s"""
 
 
+def scored_view(spark: SparkSession, scored_df: DataFrame | None = None) -> DataFrame:
+    """Resolve gold.scored_locations: explicit DataFrame > the pipeline's
+    committed stage table > recompute (mirrors features.gold_features —
+    the reference app reads the persisted scored table, `app/main.py:146`)."""
+    if scored_df is not None:
+        return scored_df
+    from ..sources.tables import stage_view
+
+    staged = stage_view(spark, "scored_locations")
+    return staged if staged is not None else score_candidates(spark)
+
+
 def top_candidates_per_metro(spark: SparkSession, n: int = 5) -> DataFrame:
     """Top-N candidates per metro (reference pandas ``nlargest(5)`` → W4
     row_number window)."""
-    scored = score_candidates(spark)
+    scored = scored_view(spark)
     w = Window.partitionBy("metro").orderBy(
         F.desc("predicted_annual_sales"), F.asc("site_id")
     )
@@ -128,7 +141,7 @@ def metro_summary(spark: SparkSession) -> DataFrame:
     """Per-metro summary — the app's metro endpoint
     (`app/main.py:224-236`): avg prediction, tier-A share (A8 conditional
     sum), counts."""
-    scored = score_candidates(spark)
+    scored = scored_view(spark)
     return (
         scored.groupBy("metro")
         .agg(
@@ -149,3 +162,102 @@ SELECT metro,
        (FLOOR((MAX(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0) AS best_predicted_sales
 FROM ({score_candidates_oracle_sql()}) __sc
 GROUP BY metro"""
+
+
+# ---------------------------------------------------------------------------
+# Phase-2 summary / validation surface
+# ---------------------------------------------------------------------------
+
+MIN_PREDICTION_STDDEV = 10000.0  # the reference's $10K variance gate
+
+
+def phase_summary(
+    spark: SparkSession,
+    scored_df: DataFrame | None = None,
+    min_std: float = MIN_PREDICTION_STDDEV,
+) -> DataFrame:
+    """The phase-2 validation report over scored locations
+    (`/root/reference/notebooks/14_phase2_summary.py:125-154`): per-tier
+    distribution (count + avg prediction), per-metro distribution (count +
+    tier-A count), and the global prediction range/stddev with the ≥$10K
+    variance gate — one long-format table, three sections, fixed schema.
+
+    Three aggregations over one scored scan; at scale each is a partial+
+    final hash agg on a low-cardinality key and the global row is a
+    single-row reduce."""
+    scored = scored_view(spark, scored_df)
+    pred = F.col("predicted_annual_sales")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    tier_part = (
+        scored.groupBy(F.col("tier").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            dround(F.avg(pred), 4).alias("avg_sales"),
+        )
+        .select(
+            F.lit("tier").alias("section"), "key", "n_sites", "avg_sales",
+            null_l.alias("tier_a_count"), null_d.alias("min_pred"),
+            null_d.alias("max_pred"), null_d.alias("std_pred"),
+            null_l.alias("variance_ok"),
+        )
+    )
+    metro_part = (
+        scored.groupBy(F.col("metro").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.countDistinct(F.when(F.col("tier") == "A", F.col("site_id"))).alias(
+                "tier_a_count"
+            ),
+        )
+        .select(
+            F.lit("metro").alias("section"), "key", "n_sites",
+            null_d.alias("avg_sales"), "tier_a_count", null_d.alias("min_pred"),
+            null_d.alias("max_pred"), null_d.alias("std_pred"),
+            null_l.alias("variance_ok"),
+        )
+    )
+    global_part = (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            dround(F.min(pred), 4).alias("min_pred"),
+            dround(F.max(pred), 4).alias("max_pred"),
+            dround(F.stddev(pred), 4).alias("std_pred"),
+        )
+        .select(
+            F.lit("global").alias("section"), F.lit("predictions").alias("key"),
+            "n_sites", null_d.alias("avg_sales"), null_l.alias("tier_a_count"),
+            "min_pred", "max_pred", "std_pred",
+            # BIGINT flag, not BOOLEAN: a NULL boolean survives pandas as
+            # a None-bearing object column on one engine and NaN on the
+            # other, breaking the order-insensitive value hash
+            (F.col("std_pred") >= F.lit(min_std)).cast("long").alias("variance_ok"),
+        )
+    )
+    return tier_part.unionByName(metro_part).unionByName(global_part)
+
+
+def phase_summary_oracle_sql(min_std: float = MIN_PREDICTION_STDDEV) -> str:
+    return f"""
+WITH scored AS ({score_candidates_oracle_sql()})
+SELECT 'tier' AS section, tier AS key, COUNT(*) AS n_sites,
+       (FLOOR((AVG(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0) AS avg_sales,
+       CAST(NULL AS BIGINT) AS tier_a_count,
+       CAST(NULL AS DOUBLE) AS min_pred, CAST(NULL AS DOUBLE) AS max_pred,
+       CAST(NULL AS DOUBLE) AS std_pred, CAST(NULL AS BIGINT) AS variance_ok
+FROM scored GROUP BY tier
+UNION ALL
+SELECT 'metro', metro, COUNT(*),
+       CAST(NULL AS DOUBLE),
+       COUNT(DISTINCT CASE WHEN tier = 'A' THEN site_id END),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM scored GROUP BY metro
+UNION ALL
+SELECT 'global', 'predictions', COUNT(*),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       (FLOOR((MIN(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0),
+       (FLOOR((MAX(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0),
+       (FLOOR((STDDEV_SAMP(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0),
+       CAST((FLOOR((STDDEV_SAMP(predicted_annual_sales)) * 10000.0 + 0.5) / 10000.0) >= {min_std} AS BIGINT)
+FROM scored"""

@@ -22,7 +22,7 @@ miniature of the urban-core distribution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_SALTS = 16
@@ -57,6 +57,75 @@ def salted_sum(
         final_aggs.append(F.sum(f"__p_{out}").alias(out))
     partial = s.groupBy(key, "salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def salted_topk(
+    df: DataFrame,
+    key: str,
+    order_cols: list[Column],
+    k: int,
+    salt_source: Column,
+    n: int = N_SALTS,
+) -> DataFrame:
+    """EXACT per-key top-k with a salted two-phase window — the
+    skew-mitigated form of the W4 row_number cut.
+
+    A plain ``row_number() OVER (PARTITION BY key ...)`` sends every row
+    of a hot key to ONE reducer to sort (map-side combine cannot help a
+    window the way it collapses algebraic aggregates) — the urban-core
+    cell becomes the stage straggler.  Phase 1 ranks within (key, salt),
+    spreading the hot key's sort over ``n`` reducers and keeping ≤ k rows
+    each; phase 2 ranks the ≤ n·k survivors per key.  Exact because the
+    per-key top-k is a subset of the union of per-(key, salt) top-k; the
+    caller's ``order_cols`` must define a TOTAL order (add a tiebreak
+    column) so the cut is deterministic.
+    """
+    s = salted(df, salt_source, n)
+    w1 = Window.partitionBy(key, "salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    pruned = s.withColumn("__r1", F.row_number().over(w1)).filter(F.col("__r1") <= k)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("salt", "__r1")
+    )
+
+
+def salted_topk_docs(spark: SparkSession, k: int = 3) -> DataFrame:
+    """Top-k documents per hex cell by geo-span count, via the salted
+    two-phase window (query surface: must equal the naive single-window
+    plan, which the oracle runs)."""
+    from ..sources.documents import geotagged_spans
+
+    cnt = (
+        geotagged_spans(spark)
+        .groupBy("hex_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    return salted_topk(
+        cnt,
+        key="hex_id",
+        order_cols=[F.desc("n_spans"), F.asc("doc_id")],
+        k=k,
+        salt_source=F.col("doc_id"),
+    )
+
+
+def salted_topk_docs_oracle_sql(k: int = 3) -> str:
+    from ..sources.documents import geotagged_spans_oracle_sql
+
+    return f"""
+WITH cnt AS (
+  SELECT hex_id, doc_id, COUNT(*) AS n_spans
+  FROM ({geotagged_spans_oracle_sql()}) __g
+  GROUP BY hex_id, doc_id
+)
+SELECT hex_id, doc_id, n_spans, rank FROM (
+  SELECT hex_id, doc_id, n_spans,
+         ROW_NUMBER() OVER (PARTITION BY hex_id
+                            ORDER BY n_spans DESC, doc_id ASC) AS rank
+  FROM cnt
+) __r WHERE rank <= {k}"""
 
 
 def salted_span_counts(spark: SparkSession) -> DataFrame:

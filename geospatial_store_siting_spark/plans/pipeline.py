@@ -5,15 +5,17 @@ Mirrors the reference's job DAG (`resources/phase2_ml_pipeline.yml:10-80`:
 validate → features → train → score → summary) re-expressed as a
 checkpointed Spark pipeline per the north rule:
 
-- each stage writes an atomic parquet+manifest snapshot
-  (sources/snapshots.py) — a crashed run RESUMES: committed stages are
-  skipped (their manifests exist), only the remainder re-executes;
-- each stage manifest records lineage (input stage names + row counts)
-  and throughput (rows/sec, wall seconds) plus PER-PARTITION row counts
-  (spark_partition_id groupBy — the skew fingerprint);
-- on a cluster with Iceberg on the classpath the stage checkpoint swaps
-  to real Iceberg snapshot commits via sources/iceberg.py (same pipeline
-  code; the adapter picks the catalog path when it resolves);
+- each stage commit routes through sources/iceberg.write_stage: a real
+  Iceberg ``createOrReplace`` snapshot when a catalog resolves, else the
+  atomic parquet+manifest protocol of sources/snapshots.py — a crashed
+  run RESUMES: committed stages are skipped (their manifests exist),
+  only the remainder re-executes;
+- each stage's run report records lineage (input stage names + row
+  counts) and throughput (rows/sec, wall seconds) plus PER-PARTITION row
+  counts (spark_partition_id groupBy — the skew fingerprint);
+- committed stages are published as session views
+  (sources/tables.register_stage_view) so the interactive app surface and
+  dev_signal_ring read the gold tables instead of recomputing them;
 - the module is a spark-submit entry point:
     spark-submit --py-files gss.zip -m geospatial_store_siting_spark.plans.pipeline
   (or `python -m ... --sf-dir /root/testdata/sf0.01`).
@@ -78,32 +80,36 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
         ),
     ]
 
+    from ..sources import iceberg
+
+    use_iceberg = iceberg.iceberg_available(spark)
     report: dict = {"sf_dir": sf_dir, "stages": []}
     for st in stages:
-        tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.name}"
-        out_dir = os.path.join(STAGE_ROOT, tag)
-        manifest_path = os.path.join(out_dir, "_manifest.json")
-        if os.path.exists(manifest_path) and not force:
-            with open(manifest_path) as f:
-                meta = json.load(f)
-            meta["resumed"] = True
-            spark.read.parquet(out_dir).createOrReplaceTempView(st.name)
-            report["stages"].append(meta)
-            continue
+        path = report_path = None
+        if not use_iceberg:
+            # content key = stage name: fixed path per (sf, stage), the
+            # resume contract (a crashed run picks up committed stages;
+            # --force recomputes)
+            path = iceberg.stage_path(None, st.name, sf_dir, content_key=st.name, root=STAGE_ROOT)
+            report_path = os.path.join(path, "_stage_report.json")
+            if os.path.exists(report_path) and not force:
+                with open(report_path) as f:
+                    meta = json.load(f)
+                meta["resumed"] = True
+                tables.register_stage_view(spark, st.name, spark.read.parquet(path), sf_dir)
+                report["stages"].append(meta)
+                continue
+            if os.path.exists(path) and force:
+                import shutil
+
+                shutil.rmtree(path)
 
         t0 = time.perf_counter()
-        df = st.fn(spark)
-        tmp = f"{out_dir}.tmp-{os.getpid()}"
-        df.write.mode("overwrite").parquet(tmp)
-        os.makedirs(STAGE_ROOT, exist_ok=True)
-        if os.path.exists(out_dir):
-            import shutil
-
-            shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
+        committed = iceberg.write_stage(
+            spark, st.fn(spark), st.name, sf_dir, content_key=st.name, root=STAGE_ROOT
+        )
         wall = time.perf_counter() - t0
 
-        committed = spark.read.parquet(out_dir)
         parts = _partition_histogram(committed)
         rows = sum(parts)
         meta = {
@@ -119,10 +125,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
             else None,
             "resumed": False,
         }
-        with open(manifest_path + ".tmp", "w") as f:
-            json.dump(meta, f)
-        os.rename(manifest_path + ".tmp", manifest_path)
-        committed.createOrReplaceTempView(st.name)
+        if report_path is not None:
+            # run report (lineage/throughput/skew) rides NEXT TO the commit
+            # manifest; "_"-prefixed so Spark's FileIndex ignores it
+            with open(report_path + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.rename(report_path + ".tmp", report_path)
+        tables.register_stage_view(spark, st.name, committed, sf_dir)
         report["stages"].append(meta)
 
     return report

@@ -52,6 +52,7 @@ def write_stage(
     sf_dir: str,
     namespace: str = "stages",
     content_key: str | None = None,
+    root: str | None = None,
 ) -> DataFrame:
     """Checkpoint a stage table atomically; return a reader of the
     committed data.
@@ -67,12 +68,16 @@ def write_stage(
         return spark.table(ident)
     from . import snapshots
 
-    path = stage_path(df, name, sf_dir, content_key)
+    path = stage_path(df, name, sf_dir, content_key, root=root)
     return snapshots.commit_dataframe(spark, df, path)
 
 
 def stage_path(
-    df: DataFrame, name: str, sf_dir: str, content_key: str | None = None
+    df: DataFrame | None,
+    name: str,
+    sf_dir: str,
+    content_key: str | None = None,
+    root: str | None = None,
 ) -> str:
     """Fallback snapshot directory for a stage table.
 
@@ -87,7 +92,8 @@ def stage_path(
     if content_key is None:
         content_key = str(df._jdf.queryExecution().analyzed().semanticHash())  # noqa: SLF001
     return os.path.join(
-        snapshots.DEFAULT_ROOT, snapshots._key(sf_dir, name, content_key)  # noqa: SLF001
+        root or snapshots.DEFAULT_ROOT,
+        snapshots._key(sf_dir, name, content_key),  # noqa: SLF001
     )
 
 

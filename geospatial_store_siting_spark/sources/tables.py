@@ -105,9 +105,54 @@ def register_geo_views(
 
 
 def load_all(spark: SparkSession, sf_dir: str, materialize: bool = True) -> dict[str, DataFrame]:
+    _drop_stale_stage_views(spark, sf_dir)
     tables = register_tables(spark, sf_dir)
     tables.update(register_geo_views(spark, sf_dir, materialize=materialize))
     return tables
+
+
+# ---------------------------------------------------------------------------
+# Committed pipeline-stage views (gold tables)
+# ---------------------------------------------------------------------------
+# The pipeline (plans/pipeline.py) registers each committed stage table as a
+# temp view; interactive consumers (app queries, dev_signal_ring, scoring)
+# resolve these FIRST and only fall back to recomputing the full plan when no
+# committed stage exists — the reference app reads gold.location_features,
+# it does not re-derive it per request.
+
+_STAGE_SF_ATTR = "_gss_stage_sf"
+_STAGE_NAMES_ATTR = "_gss_stage_names"
+
+
+def register_stage_view(spark: SparkSession, name: str, df: DataFrame, sf_dir: str) -> None:
+    """Publish a committed stage table for interactive consumers."""
+    df.createOrReplaceTempView(name)
+    setattr(spark, _STAGE_SF_ATTR, sf_dir)
+    names = getattr(spark, _STAGE_NAMES_ATTR, None)
+    if names is None:
+        names = set()
+        setattr(spark, _STAGE_NAMES_ATTR, names)
+    names.add(name)
+
+
+def stage_view(spark: SparkSession, name: str) -> DataFrame | None:
+    """The committed stage table, or None if no current pipeline run has
+    published it in this session."""
+    if name in (getattr(spark, _STAGE_NAMES_ATTR, None) or ()):
+        return spark.table(name)
+    return None
+
+
+def _drop_stale_stage_views(spark: SparkSession, sf_dir: str) -> None:
+    """Stage views committed for a DIFFERENT scale-factor dir must not
+    survive a re-load: a consumer would silently read gold tables derived
+    from other inputs."""
+    if getattr(spark, _STAGE_SF_ATTR, None) in (None, sf_dir):
+        return
+    for name in getattr(spark, _STAGE_NAMES_ATTR, None) or set():
+        spark.catalog.dropTempView(name)
+    setattr(spark, _STAGE_NAMES_ATTR, set())
+    setattr(spark, _STAGE_SF_ATTR, None)
 
 
 def oracle_cte(name: str) -> str:

@@ -29,7 +29,8 @@ class TestAssemblyDistanceGate:
         # scale killer the windowed plans remove
         assert "c_metro" not in plan
         assert "cb_metro" not in plan
-        # both distance families ride the coarse-cell candidate join
+        assert "s_metro" not in plan  # huff denominator's supply block key
+        # the distance families ride the coarse-cell candidate join
         assert "r_coarse" in plan
 
     def test_above_gate_plan_builds_without_count_jobs(self, geo, monkeypatch):
@@ -56,6 +57,27 @@ class TestAssemblyDistanceGate:
         )
         assert diff == 0
 
+    def test_windowed_huff_denominator_is_exact(self, geo):
+        """The windowed denominator is EXACT (not window-bounded): the
+        denominator filters to dist <= 3 mi and the ring window strictly
+        contains that radius, so blocked and windowed plans see the same
+        pair set (values differ only by FP summation order)."""
+        from geospatial_store_siting_spark.operators import huff
+
+        blocked = huff.hex_denominators(geo).select(
+            "cell_id", F.col("denom").alias("d_b")
+        )
+        windowed = huff.hex_denominators_windowed(geo).select(
+            "cell_id", F.col("denom").alias("d_w")
+        )
+        j = blocked.join(windowed, "cell_id", "full_outer")
+        bad = j.filter(
+            F.col("d_b").isNull()
+            | F.col("d_w").isNull()
+            | (F.abs(F.col("d_b") - F.col("d_w")) > 1e-6)
+        ).count()
+        assert bad == 0
+
 
 class TestManifestBroadcastGate:
     def test_dim_small_reads_manifest_rows_not_count(self, geo, monkeypatch):
@@ -79,3 +101,149 @@ class TestManifestBroadcastGate:
         df = geo.table("competitors").limit(3)
         assert features._dim_small(df, limit=3)
         assert not features._dim_small(df, limit=2)
+
+
+class TestSnapshotFedSurface:
+    """The interactive surface reads COMMITTED pipeline stages instead of
+    recomputing the feature / crosswalk plans per query."""
+
+    @pytest.fixture()
+    def staged(self, geo, tmp_path_factory):
+        import geospatial_store_siting_spark.plans.pipeline as pl
+        from tests.conftest import SF_DIR
+
+        old = pl.STAGE_ROOT
+        pl.STAGE_ROOT = str(tmp_path_factory.mktemp("stages_r4"))
+        try:
+            pl.run_pipeline(geo, SF_DIR)
+            yield geo
+        finally:
+            pl.STAGE_ROOT = old
+            for n in list(getattr(geo, "_gss_stage_names", set()) or set()):
+                geo.catalog.dropTempView(n)
+            geo._gss_stage_names = set()
+            geo._gss_stage_sf = None
+
+    def test_location_detail_reads_committed_stage(self, staged):
+        from geospatial_store_siting_spark.operators import app_queries
+
+        plan = _optimized(app_queries.location_detail(staged, 42))
+        # a feature recompute would scan hex_grid (centroid_lat) — the
+        # staged plan is a point-filtered parquet scan of the gold table
+        assert "centroid_lat" not in plan
+
+    def test_similar_and_compare_read_committed_stage(self, staged):
+        from geospatial_store_siting_spark.operators import app_queries
+
+        for df in (
+            app_queries.similar_locations(staged, 42),
+            app_queries.compare_sites(staged, [1, 2, 42]),
+            app_queries.scoring_features(staged, 42),
+            app_queries.confidence_intervals(staged, 42),
+        ):
+            assert "centroid_lat" not in _optimized(df)
+
+    def test_dev_signal_ring_reads_committed_stage(self, staged):
+        from geospatial_store_siting_spark.operators import dev_signals
+
+        plan = _optimized(dev_signals.dev_signal_ring(staged, 1))
+        # the zip→county→H3 crosswalk chain must not be rebuilt inline
+        assert "zip_code" not in plan
+
+    def test_scored_surface_reads_committed_stage(self, staged):
+        from geospatial_store_siting_spark.operators import app_queries, scoring
+
+        for df in (
+            app_queries.scored_locations(staged, metro="Chicago"),
+            app_queries.app_metros(staged),
+            scoring.metro_summary(staged),
+        ):
+            assert "centroid_lat" not in _optimized(df)
+
+    def test_staged_values_match_recompute(self, staged):
+        from geospatial_store_siting_spark.operators import app_queries
+        from geospatial_store_siting_spark.operators.features import location_features
+
+        staged_rows = app_queries.location_detail(staged, 42).toPandas()
+        fresh = app_queries.location_detail(
+            staged, 42, features_df=location_features(staged)
+        ).toPandas()
+        assert staged_rows.sort_index(axis=1).equals(fresh.sort_index(axis=1))
+
+
+def test_stage_views_dropped_on_sf_change(geo):
+    from geospatial_store_siting_spark.sources import tables
+    from tests.conftest import SF_DIR
+
+    tables.register_stage_view(geo, "location_features", geo.range(1), "/other/sf")
+    assert tables.stage_view(geo, "location_features") is not None
+    tables.load_all(geo, SF_DIR)  # re-load at the real SF → stale views dropped
+    assert tables.stage_view(geo, "location_features") is None
+
+
+def test_asof_tie_determinism(geo):
+    """Two right-side (view) events sharing a user's maximal earlier ts:
+    the Spark window plan picks the max event_id, and the oracle's
+    ROW_NUMBER formulation (not DuckDB's arbitrary-pick native ASOF) must
+    agree on the same row."""
+    import duckdb
+    import pandas as pd
+
+    from geospatial_store_siting_spark.operators import events_ops
+    from geospatial_store_siting_spark.testing import frames_match
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:10:00"]
+            ),
+            "event_type": ["view", "view", "purchase"],
+            "value": [1.0, 2.0, 30.0],
+        }
+    )
+    old = geo.table("events")
+    geo.createDataFrame(pdf).createOrReplaceTempView("events")
+    try:
+        out = events_ops.asof_last_view(geo).toPandas()
+        assert list(out["view_event_id"]) == [2]  # max event_id wins the tie
+        con = duckdb.connect()
+        con.register("events", pdf)
+        ok, msg = frames_match(out, con.execute(events_ops.asof_last_view_oracle_sql()).df())
+        assert ok, msg
+    finally:
+        old.createOrReplaceTempView("events")
+
+
+class TestPhaseSummary:
+    def _scored(self, geo, sales):
+        rows = [
+            (i + 1, "Chicago", float(s), 0.5, "C") for i, s in enumerate(sales)
+        ]
+        return geo.createDataFrame(
+            rows,
+            "site_id bigint, metro string, predicted_annual_sales double, "
+            "percentile double, tier string",
+        )
+
+    def test_variance_gate_fails_flat_predictions(self, geo):
+        from geospatial_store_siting_spark.operators import scoring
+
+        out = (
+            scoring.phase_summary(geo, scored_df=self._scored(geo, [100.0, 100.0, 100.0]))
+            .filter(F.col("section") == "global")
+            .collect()[0]
+        )
+        assert out["variance_ok"] == 0
+        assert out["std_pred"] == 0.0
+
+    def test_variance_gate_passes_healthy_spread(self, geo):
+        from geospatial_store_siting_spark.operators import scoring
+
+        out = (
+            scoring.phase_summary(geo, scored_df=self._scored(geo, [0.0, 50000.0]))
+            .filter(F.col("section") == "global")
+            .collect()[0]
+        )
+        assert out["variance_ok"] == 1
