@@ -55,6 +55,10 @@ def main() -> None:
             .parquet(big_path)
         )
     spark.read.parquet(big_path).createOrReplaceTempView("sites")
+    # the replicated view replaced the snapshot-backed one: drop the stale
+    # manifest row counts so the broadcast gate decides from real counts
+    features.record_table_rows(spark, {})
+    features.invalidate_dim_cache(spark)
 
     def run(fn):
         fn(spark).write.mode("overwrite").format("noop").save()  # warm
@@ -71,7 +75,16 @@ def main() -> None:
         return best, df.count()
 
     t_feat, n_feat = run(features.location_features)
-    t_score, n_score = run(scoring.score_candidates)
+    t_score, n_score = run(lambda s: scoring.score_candidates(s))
+    # the WINDOWED assembly (what runs above BROADCAST_DIM_LIMIT at 100 TB):
+    # force the gate shut so both distance families + the Huff denominator
+    # take the cell-prefix plans, same input
+    old_limit = features.BROADCAST_DIM_LIMIT
+    features.BROADCAST_DIM_LIMIT = 0
+    try:
+        t_win, n_win = run(features.location_features)
+    finally:
+        features.BROADCAST_DIM_LIMIT = old_limit
     print(
         json.dumps(
             {
@@ -79,6 +92,8 @@ def main() -> None:
                 "sites": n_feat,
                 "feature_join_sec": round(t_feat, 2),
                 "feature_join_rows_per_sec": round(n_feat / t_feat, 1),
+                "windowed_assembly_sec": round(t_win, 2),
+                "windowed_assembly_rows_per_sec": round(n_win / t_win, 1),
                 "scoring_sec": round(t_score, 2),
                 "scoring_rows_per_sec": round(n_score / t_score, 1),
                 "cores": cores,

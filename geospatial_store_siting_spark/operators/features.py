@@ -816,14 +816,22 @@ def _competition_rings(spark: SparkSession) -> DataFrame:
     )
     pairs = rings.ring_pairs(spark, sites, 3, with_ring=True)
     joined = pairs.join(comp, pairs.neighbor_h3 == comp.c_cell, "left")
+    # plain conditional COUNTs, not COUNT(DISTINCT ...): each competitor
+    # occupies exactly ONE cell and the ring offsets are distinct cells, so
+    # a (site, competitor) pair appears exactly once in the join — DISTINCT
+    # would be a no-op semantically but costs a 5-way Expand of the pair
+    # table (one replica per distinct agg) plus an extra shuffle; the plain
+    # form is one partial+final hash agg.  Values are identical (the
+    # standalone competition_ring keeps the reference's DISTINCT form and
+    # the oracle checks both).
     aggs = [
-        "COUNT(DISTINCT CASE WHEN ring_k <= 1 THEN competitor_id END)"
+        "COUNT(CASE WHEN ring_k <= 1 THEN competitor_id END)"
         " AS competitors_1ring",
-        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND category = 'QSR_Burger'"
+        "COUNT(CASE WHEN ring_k <= 1 AND category = 'QSR_Burger'"
         " THEN competitor_id END) AS burger_competitors_1ring",
-        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND category = 'Coffee'"
+        "COUNT(CASE WHEN ring_k <= 1 AND category = 'Coffee'"
         " THEN competitor_id END) AS coffee_competitors_1ring",
-        "COUNT(DISTINCT competitor_id) AS competitors_3ring",
+        "COUNT(competitor_id) AS competitors_3ring",
     ]
     return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
 
@@ -838,15 +846,18 @@ def _poi_school_ring(spark: SparkSession) -> DataFrame:
     )
     pairs = rings.ring_pairs(spark, sites, 2, with_ring=True)
     joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
+    # plain conditional COUNTs — same one-cell-per-POI argument as
+    # _competition_rings: DISTINCT would cost a 4-way Expand for identical
+    # values
     aggs = [
-        "COUNT(DISTINCT CASE WHEN ring_k <= 1 THEN poi_id END) AS poi_1ring",
-        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND size_class = 'anchor'"
+        "COUNT(CASE WHEN ring_k <= 1 THEN poi_id END) AS poi_1ring",
+        "COUNT(CASE WHEN ring_k <= 1 AND size_class = 'anchor'"
         " THEN poi_id END) AS anchor_poi_1ring",
-        "COUNT(DISTINCT CASE WHEN ring_k <= 1 AND category = 'office'"
+        "COUNT(CASE WHEN ring_k <= 1 AND category = 'office'"
         " THEN poi_id END) AS office_poi_count_1ring",
         "FLOOR((SUM(CASE WHEN ring_k <= 1 THEN COALESCE(foot_traffic_index, 0.0)"
         " ELSE 0.0 END)) * 1e4 + 0.5) / 1e4 AS total_foot_traffic_1ring",
-        "COUNT(DISTINCT CASE WHEN category = 'school' THEN poi_id END)"
+        "COUNT(CASE WHEN category = 'school' THEN poi_id END)"
         " AS school_count_2ring",
     ]
     return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
