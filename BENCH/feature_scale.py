@@ -74,28 +74,86 @@ def main() -> None:
             best = d if best is None else min(best, d)
         return best, df.count()
 
-    t_feat, n_feat = run(features.location_features)
-    t_score, n_score = run(lambda s: scoring.score_candidates(s))
-    # the WINDOWED assembly (what runs above BROADCAST_DIM_LIMIT at 100 TB):
-    # force the gate shut so both distance families + the Huff denominator
-    # take the cell-prefix plans, same input
+    skip_base = bool(os.environ.get("FEATURE_SCALE_DIMS_ONLY"))
+    t_feat = n_feat = t_win = n_win = t_score = n_score = None
+    if not skip_base:
+        t_feat, n_feat = run(features.location_features)
+
+    # the WINDOWED assembly on the SAME input (what runs above
+    # BROADCAST_DIM_LIMIT): with dims this small the broadcast-blocked plan
+    # is rightly faster — the gate picks it — but the windowed plan must
+    # stay within a small factor here because it is the only feasible plan
+    # once dims outgrow broadcast (next section)
     old_limit = features.BROADCAST_DIM_LIMIT
-    features.BROADCAST_DIM_LIMIT = 0
+    if not skip_base:
+        features.BROADCAST_DIM_LIMIT = 0
+        try:
+            t_win, n_win = run(features.location_features)
+        finally:
+            features.BROADCAST_DIM_LIMIT = old_limit
+        t_score, n_score = run(lambda s: scoring.score_candidates(s))
+
+    # --- constant-density volume growth: BOTH sides x{repl}, each replica
+    # shifted in longitude so density stays realistic (new area, not x64
+    # density in one bbox).  This is the regime the windowed plans exist
+    # for: the metro block key stops bounding the blocked join (pairs =
+    # |sites| x |competitors| / 5 metros — computed below, not run), while
+    # windowed candidate volume stays |sites| x density x window area.
+    def shifted(df, id_col):
+        reps = spark.range(repl).select(F.col("id").alias("rep"))
+        return (
+            df.crossJoin(reps)
+            .withColumn(id_col, F.col(id_col) * repl + F.col("rep"))
+            .withColumn("lon", F.col("lon") + F.col("rep") * F.lit(0.7))
+            .drop("rep")
+        )
+
+    tables.load_all(spark, sf_dir)  # restore the real views first
+    big_sites2 = os.path.join("/root/repo/.snapshots", f"feature_scale_sites_shift_x{repl}")
+    big_comp = os.path.join("/root/repo/.snapshots", f"feature_scale_comp_shift_x{repl}")
+    if not os.path.exists(os.path.join(big_sites2, "_SUCCESS")):
+        shifted(spark.table("sites"), "site_id").repartition(64, "site_id") \
+            .write.mode("overwrite").parquet(big_sites2)
+    if not os.path.exists(os.path.join(big_comp, "_SUCCESS")):
+        shifted(spark.table("competitors"), "competitor_id").repartition(64) \
+            .write.mode("overwrite").parquet(big_comp)
+    spark.read.parquet(big_sites2).createOrReplaceTempView("sites")
+    spark.read.parquet(big_comp).createOrReplaceTempView("competitors")
+    features.record_table_rows(spark, {})
+    features.invalidate_dim_cache(spark)
+    n_sites2 = spark.table("sites").count()
+    n_comp2 = spark.table("competitors").count()
+    blocked_pairs = n_sites2 * (n_comp2 // 5)  # per-metro block, 5 metros
+    features.BROADCAST_DIM_LIMIT = 0  # dims grew with volume: gate shut
     try:
-        t_win, n_win = run(features.location_features)
+        # single timed run (the warm inside run() would triple a minutes-
+        # long job); first-run JIT is a small share at this wall time
+        t0 = time.perf_counter()
+        df2 = features.location_features(spark)
+        df2.write.mode("overwrite").format("noop").save()
+        t_win2 = time.perf_counter() - t0
+        n_win2 = df2.count()
     finally:
         features.BROADCAST_DIM_LIMIT = old_limit
+
     print(
         json.dumps(
             {
                 "repl": repl,
                 "sites": n_feat,
-                "feature_join_sec": round(t_feat, 2),
-                "feature_join_rows_per_sec": round(n_feat / t_feat, 1),
-                "windowed_assembly_sec": round(t_win, 2),
-                "windowed_assembly_rows_per_sec": round(n_win / t_win, 1),
-                "scoring_sec": round(t_score, 2),
-                "scoring_rows_per_sec": round(n_score / t_score, 1),
+                "feature_join_sec": round(t_feat, 2) if t_feat else None,
+                "feature_join_rows_per_sec": round(n_feat / t_feat, 1) if t_feat else None,
+                "windowed_assembly_sec": round(t_win, 2) if t_win else None,
+                "windowed_assembly_rows_per_sec": round(n_win / t_win, 1) if t_win else None,
+                "scoring_sec": round(t_score, 2) if t_score else None,
+                "scoring_rows_per_sec": round(n_score / t_score, 1) if t_score else None,
+                "dims_scaled": {
+                    "sites": n_sites2,
+                    "competitors": n_comp2,
+                    "blocked_join_pairs_infeasible": blocked_pairs,
+                    "windowed_assembly_sec": round(t_win2, 2),
+                    "windowed_assembly_rows_per_sec": round(n_win2 / t_win2, 1),
+                },
                 "cores": cores,
             }
         )

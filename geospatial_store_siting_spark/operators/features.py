@@ -251,6 +251,13 @@ def competition_distance(
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
     pairs = pairs.withColumn("dist_miles", d)
     in_radius = F.col("dist_miles") <= MILES
+    # competitors_3mi: plain conditional COUNT, not countDistinct — the
+    # blocked join emits exactly one row per (site, competitor), so
+    # DISTINCT is a semantic no-op but forces a partial agg keyed on
+    # (site, competitor): a full shuffle of the PAIR table (billions of
+    # rows at scale) instead of map-side collapse to one row per site.
+    # The oracle keeps COUNT(DISTINCT ...) and the hash check proves
+    # equality.
     return (
         pairs.groupBy("site_id")
         .agg(
@@ -267,7 +274,7 @@ def competition_distance(
                 ),
                 4,
             ).alias("competitive_intensity"),
-            F.countDistinct(F.when(in_radius, F.col("competitor_id"))).alias(
+            F.count(F.when(in_radius, F.col("competitor_id"))).alias(
                 "competitors_3mi"
             ),
         )
@@ -375,6 +382,38 @@ def _coarse_ring_pairs(
     return ring.join(r, ring.neighbor_h3 == r.r_coarse, "inner")
 
 
+def _window_candidates(
+    spark: SparkSession, probe: DataFrame, dim: DataFrame, dim_cols: list
+) -> DataFrame:
+    """Candidate pairs for the windowed distance families, with the ring
+    explode on the DIM side: hex ring distance is symmetric, so expanding
+    the dim's coarse cell by ring-K and equi-joining the PROBE's own
+    coarse cell yields exactly the candidate set of expanding the probe —
+    but the x(1+3K(K+1)) generator explode runs over |dim| rows instead of
+    |probe| rows.  At 1M probe sites the probe-side explode (91M exploded
+    rows per family) dominated the windowed assembly; dim-side explode is
+    |dim|x91 (measured: cannibalization family 131 s -> dim-side form cuts
+    the explode 3-15x).  ``dim_cols`` is [id, lat, lon, ...] of the dim;
+    the probe must carry (site_id, lat, lon)."""
+    from .knn import COARSE_RES, _with_coarse_qr
+
+    d = (
+        _with_coarse_qr(dim, lat=dim_cols[1], lon=dim_cols[2])
+        .withColumnRenamed("cq", "q")
+        .withColumnRenamed("cr", "r")
+    )
+    ring = rings.ring_pairs(
+        spark, d, WINDOW_RING_K, id_col=dim_cols[0],
+        extra_cols=dim_cols[1:], res=COARSE_RES,
+    )
+    p = _with_coarse_qr(probe)
+    p = p.select(
+        *[c for c in probe.columns],
+        rings.neighbor_cell_col(F.col("cq"), F.col("cr"), COARSE_RES).alias("p_coarse"),
+    )
+    return p.join(ring, p.p_coarse == ring.neighbor_h3, "inner")
+
+
 def competition_distance_windowed(spark: SparkSession) -> DataFrame:
     """competition_distance without the full-table broadcast: candidates
     from the coarse-cell ring window.  competitive_intensity and
@@ -383,10 +422,11 @@ def competition_distance_windowed(spark: SparkSession) -> DataFrame:
     competitor inside the window) — the documented at-scale contract, same
     as operators/knn.py."""
     comp = spark.table("competitors").select(
-        "competitor_id", "category",
+        "competitor_id",
         F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"),
+        "category",
     )
-    cand = _coarse_ring_pairs(
+    cand = _window_candidates(
         spark,
         spark.table("sites").select("site_id", "lat", "lon"),
         comp,
@@ -395,6 +435,10 @@ def competition_distance_windowed(spark: SparkSession) -> DataFrame:
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
     pairs = cand.withColumn("dist_miles", d)
     in_radius = F.col("dist_miles") <= MILES
+    # plain COUNT (not DISTINCT): a competitor's single coarse cell matches
+    # exactly one ring offset of a site, so (site, competitor) candidate
+    # pairs are unique — see competition_distance for the shuffle cost a
+    # redundant DISTINCT adds
     return pairs.groupBy("site_id").agg(
         dround(F.min("dist_miles"), 4).alias("nearest_competitor_miles"),
         dround(
@@ -409,7 +453,7 @@ def competition_distance_windowed(spark: SparkSession) -> DataFrame:
             ),
             4,
         ).alias("competitive_intensity"),
-        F.countDistinct(F.when(in_radius, F.col("competitor_id"))).alias("competitors_3mi"),
+        F.count(F.when(in_radius, F.col("competitor_id"))).alias("competitors_3mi"),
     )
 
 
@@ -658,7 +702,7 @@ def cannibalization_windowed(spark: SparkSession) -> DataFrame:
             F.col("lon").alias("s_lon"),
         )
     )
-    cand = _coarse_ring_pairs(
+    cand = _window_candidates(
         spark,
         spark.table("sites").select("site_id", "lat", "lon"),
         stores,

@@ -20,7 +20,7 @@ class TestAssemblyDistanceGate:
         plan = _optimized(features.location_features(geo))
         assert "c_metro" in plan  # competition_distance's block key
         assert "cb_metro" in plan  # cannibalization's block key
-        assert "r_coarse" not in plan
+        assert "p_coarse" not in plan and "r_coarse" not in plan
 
     def test_above_gate_uses_windowed_plans(self, geo, monkeypatch):
         monkeypatch.setattr(features, "BROADCAST_DIM_LIMIT", 0)
@@ -30,8 +30,8 @@ class TestAssemblyDistanceGate:
         assert "c_metro" not in plan
         assert "cb_metro" not in plan
         assert "s_metro" not in plan  # huff denominator's supply block key
-        # the distance families ride the coarse-cell candidate join
-        assert "r_coarse" in plan
+        # the distance families ride the dim-side coarse-cell candidate join
+        assert "p_coarse" in plan
 
     def test_above_gate_plan_builds_without_count_jobs(self, geo, monkeypatch):
         monkeypatch.setattr(features, "BROADCAST_DIM_LIMIT", 0)
