@@ -128,6 +128,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python worker
+    (its state-server protocol is protobuf-encoded); this offline sandbox
+    ships a broken google.protobuf, so the operator is capability-gated —
+    same pattern as sources/multimodal.HAVE_MEDIA_LIBS."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4.x arbitrary-state API (typed state variables, timers, TTL),
+    successor to ``applyInPandasWithState`` above.  Same output contract
+    as running_user_totals: the equivalence test asserts both against the
+    batch groupBy when the runtime supports it (see tws_available).
+
+    Scale notes: state is ONE ValueState row per user in the state store
+    (RocksDB provider for large keyspaces); rows stream per key through
+    Arrow just like the applyInPandasWithState form."""
+    import pandas as pd  # noqa: F811  (worker-side import)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", "total double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                total, n = self._state.get()
+            else:
+                total, n = 0.0, 0
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._state.update((total, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, total_value double, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str):
     """Drive a bounded stream to completion synchronously (test harness)."""
     q = (

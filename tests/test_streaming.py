@@ -107,3 +107,42 @@ def test_doc_cells_stream_equals_batch(geo):
         .reset_index(drop=True)
     )
     assert out.equals(batch)
+
+
+def test_transform_with_state_running_totals(geo):
+    """Spark 4.x arbitrary-state twin (transformWithStateInPandas) matches
+    the batch groupBy — skipped where the worker-side protobuf the
+    operator's state protocol needs is unavailable (stream_jobs.tws_available)."""
+    import pytest
+
+    if not stream_jobs.tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf in the Python worker")
+    old = geo.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    geo.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_jobs.events_stream(geo, SF_DIR)
+        totals = stream_jobs.running_user_totals_tws(ev)
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_totals_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = geo.sql(
+            "SELECT user_id, max(n_events) AS n FROM tws_totals_out GROUP BY user_id"
+        ).toPandas().set_index("user_id")["n"]
+        batch = (
+            geo.table("events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .toPandas().set_index("user_id")["n"]
+        )
+        joined = out.to_frame("stream").join(batch.to_frame("batch"))
+        assert len(out) == len(batch)
+        assert (joined["stream"] == joined["batch"]).all()
+    finally:
+        if old is not None:
+            geo.conf.set("spark.sql.streaming.stateStore.providerClass", old)
