@@ -127,8 +127,17 @@ levels; throughput = processed site-rows/sec (3 operators × |sites|).
 
 Efficiency = (T_4N / T_N) / 4, best-of-2 interleaved runs per level.  Generated by `python BENCH/scaling.py`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # replace only this harness's header section; the other harnesses
+    # (dedup_scale, skew_ring) append their own "## ..." sections below it
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        idx = existing.find("\n## ")
+        if idx >= 0:
+            tail = existing[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":

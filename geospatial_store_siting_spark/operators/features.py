@@ -16,13 +16,21 @@ DuckDB over the same parquet tables, via the shared dialect-neutral
 synthesis CTEs — the correctness gate.
 
 Scale design (100 TB posture):
-- ring expansion is a broadcasted 7/19/37-row dimension join — no shuffle;
+- ring expansion is a generator explode over a literal offsets array — no
+  join, no shuffle, stays inside whole-stage codegen;
 - the grid join shuffles on cell_id: high-cardinality, near-uniform key
   (urban-core skew handled by operators/skew.py salting when a cell's
   entity list explodes);
-- distance joins are *blocked* (metro key here; coarse-cell prefix in
-  operators/knn.py at scale) so the cross product is bounded;
-- aggregations are single-pass partial+final hash aggs (map-side combine);
+- distance families dispatch on the broadcast gate: metro-blocked
+  broadcast joins below BROADCAST_DIM_LIMIT (exact, and fastest while the
+  dim ships), the windowed cell-prefix plans above it (dim-side ring
+  explode + high-cardinality hash join — the only plan whose pair count
+  grows linearly when BOTH sides grow; measured in BENCH/feature_scale.py);
+- the gate reads manifest row counts (record_table_rows) — deciding a
+  plan never runs a count() job;
+- aggregations are single-pass partial+final hash aggs (map-side combine;
+  no COUNT(DISTINCT) where join pairs are provably unique per group —
+  DISTINCT would add an Expand replica of the pair table per aggregate);
 - every float output is rounded at the end (oracle-stable), never mid-chain.
 """
 
