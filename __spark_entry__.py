@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_string_ids": _q(encode.hex_string_ids),
         # --- interactive app query surface (app/main.py semantics) ---
         "app_metros": _q(app_queries.app_metros),
+        "app_score_record": _q(
+            lambda s: app_queries.score_feature_record(s, app_queries.DEMO_SCORE_RECORD)
+        ),
         "app_scored_filtered": _q(
             lambda s: app_queries.scored_locations(s, metro="Chicago", tier=None, limit=200)
         ),
@@ -362,6 +365,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_summary": encode.feature_summary_oracle_sql(),
         "hex_string_ids": encode.hex_string_ids_oracle_sql(),
         "app_metros": app_queries.app_metros_oracle_sql(),
+        "app_score_record": app_queries.score_feature_record_oracle_sql(
+            app_queries.DEMO_SCORE_RECORD
+        ),
         "app_scored_filtered": app_queries.scored_locations_oracle_sql("Chicago", 200),
         "app_heatmap": app_queries.competition_heatmap_oracle_sql(41.5, 42.3, -88.0, -87.2),
         "app_similar_locations": app_queries.similar_locations_oracle_sql(42),

@@ -61,6 +61,50 @@ def app_metros_oracle_sql() -> str:
 SELECT DISTINCT metro FROM ({score_candidates_oracle_sql()}) __s ORDER BY metro"""
 
 
+def score_feature_record(spark: SparkSession, features: dict) -> DataFrame:
+    """Real-time scoring proxy (`/root/reference/app/main.py:244-261`,
+    `notebooks/12_deploy_endpoint.py:41-93`): the endpoint takes one
+    feature record and returns the model's prediction.  The serving
+    plumbing (HTTP model endpoint) stays out of scope (SURVEY §7.4); the
+    SEMANTICS — feature record in, prediction out, the same model the
+    batch scorer applies — run engine-side over a one-row frame using the
+    deterministic scorer shared with gold.scored_locations
+    (operators/scoring.predicted_sales_col).  The trained-GBT variant is
+    operators/ml.model_predictions (rows-only, iterative)."""
+    from .scoring import SCORE_WEIGHTS, predicted_sales_col
+
+    names = [n for n, _ in SCORE_WEIGHTS]
+    row = [tuple(float(features.get(n, 0.0)) for n in names)]
+    df = spark.createDataFrame(row, ", ".join(f"{n} double" for n in names))
+    return df.select(predicted_sales_col().alias("predicted_annual_sales"))
+
+
+def score_feature_record_oracle_sql(features: dict) -> str:
+    from .scoring import SCORE_INTERCEPT, SCORE_WEIGHTS
+
+    score = " + ".join(
+        [repr(SCORE_INTERCEPT)]
+        + [
+            f"({float(features.get(n, 0.0))!r} * {w!r})"
+            for n, w in SCORE_WEIGHTS
+        ]
+    )
+    return f"""
+SELECT (FLOOR(({score}) * 10000.0 + 0.5) / 10000.0) AS predicted_annual_sales"""
+
+
+# the demo serving payload both the query and its oracle score
+DEMO_SCORE_RECORD = {
+    "population_1ring": 12500.0,
+    "target_demo_pct_1ring": 0.31,
+    "anchor_poi_1ring": 2.0,
+    "max_pedestrian_traffic": 1800.0,
+    "competitive_intensity": 4.25,
+    "cannibalization_risk": 1.5,
+    "drive_thru": 1.0,
+}
+
+
 def location_detail(
     spark: SparkSession, site_id: int, features_df: DataFrame | None = None
 ) -> DataFrame:

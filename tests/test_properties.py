@@ -86,3 +86,21 @@ def test_minhash_estimates_track_jaccard(geo):
     lo = [exact[p] for p in common if est[p] <= 0.25]
     if hi and lo:
         assert np.mean(hi) > np.mean(lo)
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=2**60 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_banding_is_exact_for_small_hamming(sig, flips):
+    """The pigeonhole guarantee behind dedup.simhash_pairs: any pair with
+    hamming distance <= 3 MUST agree on at least one of the 4 x 15-bit
+    bands, so the banded bucket join loses no qualifying pair."""
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    assert bin(sig ^ other).count("1") <= 3
+    bands_a = [(sig >> (15 * i)) % 32768 for i in range(4)]
+    bands_b = [(other >> (15 * i)) % 32768 for i in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
