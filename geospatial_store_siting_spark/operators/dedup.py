@@ -636,6 +636,88 @@ WHERE (FLOOR(({cos}) * 1000000.0 + 0.5) / 1000000.0) >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------
+# Near-dup components: pairs → clusters (distributed min-label propagation)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITER = 25
+
+
+def near_dup_components(
+    spark: SparkSession, sf_dir: str | None = None, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the step
+    that turns PAIRS into dedup CLUSTERS a keep-list is cut from.
+
+    Edges = n-gram-Jaccard pairs ∪ SimHash hamming-ball pairs (both
+    deterministic and independently oracle-checked).  Components via
+    distributed min-label propagation: each round joins labels across the
+    symmetric edge list and every node adopts the min of its own and its
+    neighbors' labels; a fixpoint is reached within the largest component
+    diameter.  Each round localCheckpoints the label table (cuts the
+    exponentially growing lineage) and runs ONE count() as the convergence
+    test — the standard hash-join CC loop (cf. the large-star/small-star
+    formulation for web-scale graphs); no driver-side graph, state is one
+    (node, label) row per doc.
+
+    Oracle: DuckDB recursive CTE computing reachability, then MIN reachable
+    id per node — the same fixpoint (transitive closure is Σ|component|²
+    rows, fine at oracle SF)."""
+    j = ngram_jaccard_pairs(spark, sf_dir=sf_dir).select("a", "b")
+    s = simhash_pairs(spark, sf_dir=sf_dir).select("a", "b")
+    edges = j.unionByName(s).distinct()
+    sym = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "__n"), F.col("b") == F.col("__n"))
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def near_dup_components_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE jp AS ({ngram_jaccard_pairs_oracle_sql()}),
+sp AS ({simhash_pairs_oracle_sql()}),
+edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM sp),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, s.b FROM reach JOIN sym s ON reach.r = s.a
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup application: the kept (canonical) corpus
 # ---------------------------------------------------------------------------
 
