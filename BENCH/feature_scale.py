@@ -132,7 +132,8 @@ def main() -> None:
         df2 = features.location_features(spark)
         df2.write.mode("overwrite").format("noop").save()
         t_win2 = time.perf_counter() - t0
-        n_win2 = df2.count()
+        n_win2 = n_sites2  # the assembly emits one row per site — a
+        # count() here would re-execute the whole minutes-long plan
     finally:
         features.BROADCAST_DIM_LIMIT = old_limit
 

@@ -78,13 +78,12 @@ def main() -> None:
             ent, key="cell_id", order_cols=order, k=K, salt_source=F.col("entity_id")
         )
 
-    # exactness: identical result sets
-    mismatch = (
-        naive().select("cell_id", "entity_id", "rank")
-        .exceptAll(salted().select("cell_id", "entity_id", "rank"))
-        .count()
-    )
-    assert mismatch == 0, f"salted top-k diverged from naive window: {mismatch} rows"
+    # exactness: identical MULTISETS, both directions (one-sided exceptAll
+    # would pass if salted emitted extras/duplicates)
+    nv = naive().select("cell_id", "entity_id", "rank")
+    sv = salted().select("cell_id", "entity_id", "rank")
+    missing, extra = nv.exceptAll(sv).count(), sv.exceptAll(nv).count()
+    assert missing == 0 and extra == 0, f"salted top-k diverged: -{missing}/+{extra} rows"
     assert "WindowGroupLimit" in naive()._jdf.queryExecution().executedPlan().toString()
 
     def timed(fn):  # one timed run per variant (the rule-off run is minutes)
@@ -96,9 +95,11 @@ def main() -> None:
     t_naive_wgl = timed(naive)
     t_salted_wgl = timed(salted)
     spark.conf.set("spark.sql.optimizer.excludedRules", WGL_RULE)
-    t_naive_raw = timed(naive)
-    t_salted_raw = timed(salted)
-    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    try:
+        t_naive_raw = timed(naive)
+        t_salted_raw = timed(salted)
+    finally:
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
 
     result = {
         "rows": n_rows,
@@ -112,9 +113,18 @@ def main() -> None:
         "cores": cores,
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+    # replace this harness's own section on rerun (blind append would
+    # accumulate contradictory measurements that scaling.py's
+    # section-preserving rewrite then keeps forever)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    existing = open(path).read() if os.path.exists(path) else ""
+    marker = "\n## Skewed-grid hot-cell top-k"
+    if marker in existing:
+        existing = existing[: existing.index(marker)]
+    with open(path, "w") as f:
         f.write(
-            f"\n## Skewed-grid hot-cell top-k — {n_rows} rows, 1 cell at "
+            existing
+            + f"\n## Skewed-grid hot-cell top-k — {n_rows} rows, 1 cell at "
             f"{HOT_ROWS} rows (~95% of corpus), local[{cores}]\n\n"
             f"| plan | wall | note |\n|---|---|---|\n"
             f"| window + rank<=k filter (Catalyst InferWindowGroupLimit) | {t_naive_wgl} s | map-side group limits — already skew-resistant |\n"

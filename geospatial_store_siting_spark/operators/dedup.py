@@ -6,10 +6,14 @@
 - MinHash + LSH         : per-seed min of md5(seed||shingle) signatures,
                           banded bucket join for candidates, similarity =
                           fraction of agreeing minhashes
-- SimHash               : vectorized Arrow pandas UDF (bit-manipulation is
-                          not portably SQL-expressible → rows-only check)
+- SimHash               : fully relational 60-bit signature (engine-side
+                          md5 + bit aggregation) + banded hamming-ball
+                          pair join, both oracle-checked
 - embedding near-dup    : cosine over the embeddings table (see
                           operators/similarity.py for the kNN variant)
+- components            : near-dup pairs → clusters (distributed min-label
+                          propagation with pointer doubling; recursive-CTE
+                          oracle)
 
 Scale design: everything is shingle-level map + hash-shuffle on the
 shingle/band key (the canonical MinHash-LSH plan).  Hot shingles (stop
@@ -77,20 +81,28 @@ WHERE o.i <= {tk} - {N_SHINGLE_WORDS - 1}"""
 
 def _stage_or_checkpoint(
     spark: SparkSession, df: DataFrame, name: str, content_sql: str,
-    sf_dir: str | None = None,
+    sf_dir: str | None = None, code=(),
 ) -> DataFrame:
     """Materialize a doc-level intermediate that feeds multiple plan
     branches.  With a known data dir: a DURABLE Iceberg/parquet stage
     snapshot (sources/iceberg.write_stage), content-keyed on the defining
-    oracle SQL — stable across sessions (warm runs read the committed
-    parquet; an algorithm change produces a new key), and it survives
-    executor loss, unlike localCheckpoint's deserialized executor-memory
-    blocks.  Without one (ad-hoc plans over unregistered inputs): eager
+    oracle SQL PLUS a digest of the producing functions' source (``code``)
+    — stable across sessions (warm runs read the committed parquet), and
+    invalidated when EITHER the algorithm's SQL twin or its Spark-side
+    implementation changes (keying on the SQL alone would keep serving a
+    stale snapshot after a Spark-side-only fix).  Survives executor loss,
+    unlike localCheckpoint's deserialized executor-memory blocks.  Without
+    a data dir (ad-hoc plans over unregistered inputs): eager
     localCheckpoint, reclaimed on plan GC."""
     if sf_dir:
+        import hashlib
+        import inspect
+
         from ..sources import iceberg
 
-        return iceberg.write_stage(spark, df, name, sf_dir, content_key=content_sql)
+        src = "".join(inspect.getsource(f) for f in code)
+        key = content_sql + "|code:" + hashlib.md5(src.encode()).hexdigest()
+        return iceberg.write_stage(spark, df, name, sf_dir, content_key=key)
     return df.localCheckpoint(eager=True)
 
 
@@ -138,6 +150,7 @@ def ngram_jaccard_pairs(
         "distinct_shingles",
         f"SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s",
         sf_dir,
+        code=(shingles,),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
     postings = sh.join(
@@ -270,6 +283,7 @@ def minhash_lsh_pairs(
     sig = _stage_or_checkpoint(
         spark, minhash_signatures(spark), "minhash_signatures",
         minhash_signatures_sql(), sf_dir,
+        code=(shingles, minhash_signatures),
     )
     per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = F.array(
@@ -465,7 +479,8 @@ def simhash_pairs(
     no all-pairs on the Spark side, no corpus broadcast; one shuffle on
     the (band, segment) key, candidates refined with an integer popcount."""
     sig = _stage_or_checkpoint(
-        spark, simhash(spark), "simhash_signatures", simhash_oracle_sql(), sf_dir
+        spark, simhash(spark), "simhash_signatures", simhash_oracle_sql(), sf_dir,
+        code=(simhash,),
     )
     band_structs = F.array(
         *[
@@ -665,8 +680,26 @@ def near_dup_components(
     j = ngram_jaccard_pairs(spark, sf_dir=sf_dir).select("a", "b")
     s = simhash_pairs(spark, sf_dir=sf_dir).select("a", "b")
     edges = j.unionByName(s).distinct()
+    return connected_components(spark, edges, max_iter=max_iter).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def connected_components(
+    spark: SparkSession, edges: DataFrame, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """(node, label=min id in component) over an undirected edge list
+    (a, b).  Hash-min propagation WITH pointer-doubling: each round every
+    node (1) adopts the min of its neighbors' labels, then (2) adopts its
+    label's label (path shortcutting) — the doubling step halves label-
+    chain depth per round, so convergence is O(log diameter) rounds, not
+    O(diameter): a 2^25-long near-dup chain converges inside
+    CC_MAX_ITER=25 (plain one-hop propagation would abort on any chain
+    longer than max_iter).  Each round localCheckpoints the label table
+    (cuts exponential lineage) and runs one count() as the fixpoint test."""
     sym = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select("a", "b")
+        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -679,13 +712,21 @@ def near_dup_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        step = labels.join(nbr, labels.node == nbr.a, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: label <- label's label
+        parent = step.select(F.col("node").alias("__pn"), F.col("label").alias("__pl"))
         new = (
-            labels.join(nbr, labels.node == nbr.a, "left")
+            step.join(parent, step.label == parent.__pn, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("__pl"), F.col("label"))).alias(
+                    "label"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -699,7 +740,7 @@ def near_dup_components(
             break
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    return labels
 
 
 def near_dup_components_oracle_sql() -> str:

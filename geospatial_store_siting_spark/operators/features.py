@@ -425,10 +425,13 @@ def _window_candidates(
 def competition_distance_windowed(spark: SparkSession) -> DataFrame:
     """competition_distance without the full-table broadcast: candidates
     from the coarse-cell ring window.  competitive_intensity and
-    competitors_3mi are EXACT (the window strictly contains the 3-mile
-    radius); the nearest-distance columns are window-bounded (NULL when no
-    competitor inside the window) — the documented at-scale contract, same
-    as operators/knn.py."""
+    competitors_3mi are exact w.r.t. the 3-mile radius (the window
+    strictly contains it); the nearest-distance columns are window-bounded
+    (NULL when no competitor inside the window), and the window carries NO
+    metro key — a cross-metro competitor inside the radius counts here and
+    is excluded by the blocked form (see cannibalization_windowed for why
+    the windowed semantics is the honest one) — the documented at-scale
+    contract, same as operators/knn.py."""
     comp = spark.table("competitors").select(
         "competitor_id",
         F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"),
@@ -696,10 +699,16 @@ def cannibalization_windowed(spark: SparkSession) -> DataFrame:
     own-store candidates from the coarse-cell ring window, self-excluded —
     the at-scale twin the assembly uses above BROADCAST_DIM_LIMIT.
 
-    cannibalization_risk is EXACT (the ring window strictly contains the
-    3-mile gravity radius); nearest_own_store_miles is window-bounded
-    (NULL → 0 after the assembly null-fill when no own store lies inside
-    the window) — the same documented contract as
+    cannibalization_risk is exact w.r.t. the 3-mile radius (the ring
+    window strictly contains it); nearest_own_store_miles is
+    window-bounded (NULL → 0 after the assembly null-fill when no own
+    store lies inside the window).  One further contract difference from
+    the blocked form: the window has NO metro key, so a store within the
+    window but assigned to a DIFFERENT metro counts here and not there —
+    the metro block is itself a geography assumption (no cross-metro
+    neighbor within the radius), which holds for real metro layouts and
+    for this data; adjacent-metro datasets should treat the windowed
+    semantics as the ground truth.  Same contract as
     competition_distance_windowed."""
     stores = (
         spark.table("sites")

@@ -84,10 +84,13 @@ def hex_denominators(spark: SparkSession) -> DataFrame:
 
     Below the broadcast gate: metro-blocked join with the supply dim
     broadcast (the reference notes ~376 supply rows, L639-646).  Above it:
-    the windowed cell-prefix plan — EXACT here, unlike the nearest-distance
-    families, because the denominator is radius-filtered (dist ≤ 3 mi) and
-    the ring window strictly contains that radius, so both plans see the
-    identical pair set."""
+    the windowed cell-prefix plan — pairwise exact w.r.t. the 3-mile
+    radius filter (the ring window strictly contains it), with the same
+    metro-key caveat as the distance families: the window ignores metro
+    assignment, so a cross-metro supply point inside the radius counts
+    here and not in the blocked form (identical results whenever metros
+    are farther apart than the radius, as in any real layout and this
+    data)."""
     if not _supply_small(spark):
         return hex_denominators_windowed(spark)
     cells = spark.table("hex_grid").select(

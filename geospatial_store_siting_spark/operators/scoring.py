@@ -206,7 +206,11 @@ def phase_summary(
         scored.groupBy(F.col("metro").alias("key"))
         .agg(
             F.count(F.lit(1)).alias("n_sites"),
-            F.countDistinct(F.when(F.col("tier") == "A", F.col("site_id"))).alias(
+            # plain conditional COUNT: scored_locations has exactly one row
+            # per site, so DISTINCT would only add an Expand + an extra
+            # shuffle keyed on (metro, site_id) for identical values (the
+            # oracle keeps COUNT(DISTINCT ...) and the hash check proves it)
+            F.count(F.when(F.col("tier") == "A", F.col("site_id"))).alias(
                 "tier_a_count"
             ),
         )

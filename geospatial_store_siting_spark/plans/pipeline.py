@@ -106,7 +106,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
 
         t0 = time.perf_counter()
         committed = iceberg.write_stage(
-            spark, st.fn(spark), st.name, sf_dir, content_key=st.name, root=STAGE_ROOT
+            spark, st.fn(spark), st.name, sf_dir,
+            content_key=st.name, root=STAGE_ROOT, force=force,
         )
         wall = time.perf_counter() - t0
 

@@ -53,23 +53,57 @@ def write_stage(
     namespace: str = "stages",
     content_key: str | None = None,
     root: str | None = None,
+    force: bool = False,
 ) -> DataFrame:
     """Checkpoint a stage table atomically; return a reader of the
     committed data.
 
     Iceberg path: ``createOrReplace`` commits ONE new table snapshot —
     concurrent readers keep the previous snapshot until the metadata
-    pointer swaps, and a crashed writer publishes nothing.  Fallback: the
-    rename+manifest protocol of sources/snapshots.py (same guarantee on a
-    posix/rename filesystem)."""
+    pointer swaps, and a crashed writer publishes nothing.  The content
+    key rides on the table as a property (``gss.content-key``) so a
+    matching committed table is REUSED without re-executing the plan —
+    the same resume/warm-reuse contract the parquet fallback gets from
+    its content-keyed directory (without this, every call would recompute
+    and commit a fresh snapshot).  ``force=True`` always recomputes.
+    Fallback: the rename+manifest protocol of sources/snapshots.py (same
+    guarantee on a posix/rename filesystem)."""
     if iceberg_available(spark):
         ident = f"{CATALOG}.{namespace}.{name}"
-        df.writeTo(ident).using("iceberg").createOrReplace()
+        key = f"{sf_dir}|{content_key if content_key is not None else _plan_key(df)}"
+        if not force and _iceberg_key_matches(spark, ident, key):
+            return spark.table(ident)
+        (
+            df.writeTo(ident)
+            .using("iceberg")
+            .tableProperty("gss.content-key", key)
+            .createOrReplace()
+        )
         return spark.table(ident)
     from . import snapshots
 
+    if force:
+        import shutil
+
+        shutil.rmtree(stage_path(df, name, sf_dir, content_key, root=root),
+                      ignore_errors=True)
     path = stage_path(df, name, sf_dir, content_key, root=root)
     return snapshots.commit_dataframe(spark, df, path)
+
+
+def _plan_key(df: DataFrame) -> str:
+    return str(df._jdf.queryExecution().analyzed().semanticHash())  # noqa: SLF001
+
+
+def _iceberg_key_matches(spark: SparkSession, ident: str, key: str) -> bool:
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {ident}").collect()
+        }
+        return props.get("gss.content-key") == key
+    except Exception:  # noqa: BLE001  (table absent / first run)
+        return False
 
 
 def stage_path(
@@ -81,16 +115,17 @@ def stage_path(
 ) -> str:
     """Fallback snapshot directory for a stage table.
 
-    Content key: pass a stable ``content_key`` (e.g. the defining SQL, as
-    snapshot_table does) when one exists; otherwise the analyzed plan's
-    ``semanticHash`` is used — it normalizes expression IDs, so the same
-    plan hashes identically across sessions (the raw plan string embeds
-    per-session exprIds like ``site_id#123L`` and would never reuse a
-    snapshot across sessions, accumulating stale directories)."""
+    Content key: pass a stable ``content_key`` (the defining SQL plus a
+    digest of the producing code, as operators/dedup._stage_or_checkpoint
+    does) — that is what makes CROSS-SESSION reuse work and invalidation
+    track code changes.  The ``semanticHash`` default is the no-key
+    fallback: measured NOT stable across sessions (exprIds leak into the
+    analyzed-plan hash), so it only dedupes within a session — callers
+    wanting durable reuse must supply a key."""
     from . import snapshots
 
     if content_key is None:
-        content_key = str(df._jdf.queryExecution().analyzed().semanticHash())  # noqa: SLF001
+        content_key = _plan_key(df)
     return os.path.join(
         root or snapshots.DEFAULT_ROOT,
         snapshots._key(sf_dir, name, content_key),  # noqa: SLF001

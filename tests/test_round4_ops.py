@@ -216,6 +216,21 @@ def test_asof_tie_determinism(geo):
         old.createOrReplaceTempView("events")
 
 
+def test_connected_components_long_chain(geo):
+    """A 60-node path graph (diameter 59 > CC_MAX_ITER=25) must converge:
+    the pointer-doubling step makes rounds O(log diameter), so plain
+    propagation's abort-on-long-chain failure mode cannot occur."""
+    from geospatial_store_siting_spark.operators import dedup
+
+    edges = geo.createDataFrame(
+        [(i, i + 1) for i in range(59)] + [(100, 101)], "a bigint, b bigint"
+    )
+    out = dedup.connected_components(geo, edges).toPandas()
+    chain = out[out["node"] <= 59]
+    assert (chain["label"] == 0).all()  # one component rooted at min id
+    assert set(out[out["node"] >= 100]["label"]) == {100}
+
+
 class TestPhaseSummary:
     def _scored(self, geo, sales):
         rows = [

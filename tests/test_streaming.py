@@ -146,3 +146,5 @@ def test_transform_with_state_running_totals(geo):
     finally:
         if old is not None:
             geo.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            geo.conf.unset("spark.sql.streaming.stateStore.providerClass")
