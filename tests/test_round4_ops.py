@@ -216,6 +216,25 @@ def test_asof_tie_determinism(geo):
         old.createOrReplaceTempView("events")
 
 
+def test_rank_filtered_windows_plan_group_limits(geo):
+    """Every rank<=k window cut in the engine must plan with Catalyst's
+    WindowGroupLimit (map-side per-group limits) — the property that makes
+    the plain window form skew-resistant (BENCH/skew_ring.py measured a
+    ~24x gap on a hot cell when the limit is not inferable).  If a future
+    edit moves the rank filter away from the window, this catches the
+    silently-reintroduced straggler."""
+    from geospatial_store_siting_spark.operators import dev_signals, knn, scoring, skew
+
+    for name, df in [
+        ("knn_competitors", knn.knn_competitors(geo)),
+        ("top5_per_metro", scoring.top_candidates_per_metro(geo)),
+        ("dominant_county", dev_signals.dominant_county(geo)),
+        ("salted_topk_docs", skew.salted_topk_docs(geo)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, f"{name}: rank filter not pushed into the window"
+
+
 def test_connected_components_long_chain(geo):
     """A 60-node path graph (diameter 59 > CC_MAX_ITER=25) must converge:
     the pointer-doubling step makes rounds O(log diameter), so plain
