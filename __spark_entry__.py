@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q(text_ops.quality_score),
         "doc_fingerprint": _q(text_ops.fingerprint),
         "doc_rolling_fingerprint": _q(text_ops.rolling_fingerprint),
+        "token_repetition": _q(text_ops.token_repetition),
+        "scrub_pii": _q(text_ops.scrub_pii),
         # --- deduplication ---
         "dedup_exact": _q(dedup.exact_dedup),
         "dedup_keep_documents": _q(dedup.dedup_keep_documents),
@@ -322,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": text_ops.quality_score_oracle_sql(),
         "doc_fingerprint": text_ops.fingerprint_oracle_sql(),
         "doc_rolling_fingerprint": text_ops.rolling_fingerprint_oracle_sql(),
+        "token_repetition": text_ops.token_repetition_oracle_sql(),
+        "scrub_pii": text_ops.scrub_pii_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_oracle_sql(),
         "dedup_keep_documents": dedup.dedup_keep_documents_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),

@@ -236,3 +236,84 @@ SELECT doc_id,
        MAX(n) AS n_tokens_hashed
 FROM toks JOIN pows ON toks.n - toks.i = pows.k
 GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+TOKEN_REP_CAP = 200  # bounded per-doc work, like dedup.MAX_SHINGLES
+
+
+def token_repetition(spark: SparkSession) -> DataFrame:
+    """Per-document repetition signals over the first TOKEN_REP_CAP
+    whitespace tokens: top-token frequency ratio and distinct-token ratio
+    — the Gopher-rule inputs that flag boilerplate / degenerate repetition
+    for the quality-filter stage.  One explode + two hash aggs; the token
+    cap bounds per-doc work at corpus scale."""
+    docs = spark.table("documents").repartition("doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.slice(F.split(F.col("text"), " "), 1, TOKEN_REP_CAP)).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        dround(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_ratio"),
+        dround(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
+def token_repetition_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:{TOKEN_REP_CAP}]) AS tok
+  FROM documents
+),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       SUM(c) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       (FLOOR((CAST(MAX(c) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0) AS top_token_ratio,
+       (FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0) AS distinct_ratio
+FROM per_tok
+GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data cleaning stage)
+# ---------------------------------------------------------------------------
+
+# simple alternation-free patterns chosen to mean the same thing to Java
+# regex (Spark) and RE2 (DuckDB) — no lookaround, no backreferences
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+
+
+def scrub_pii(spark: SparkSession) -> DataFrame:
+    """PII-scrub pass: mask emails and URLs, report per-doc match counts
+    and an md5 of the scrubbed text (the cross-engine equality witness —
+    comparing full text would also work but hashes keep the result
+    narrow).  Map-only projection fused into the scan; the masked corpus
+    a real pipeline writes back is this same expression as a column."""
+    docs = spark.table("documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{EMAIL_RE}', 0))").cast("long").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{URL_RE}', 0))").cast("long").alias("n_urls"),
+        F.md5(masked).alias("scrubbed_md5"),
+    )
+
+
+def scrub_pii_oracle_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{URL_RE}', '<URL>', 'g')) AS scrubbed_md5
+FROM documents"""

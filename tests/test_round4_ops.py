@@ -250,6 +250,45 @@ def test_connected_components_long_chain(geo):
     assert set(out[out["node"] >= 100]["label"]) == {100}
 
 
+def test_scrub_pii_on_crafted_documents(geo):
+    """The synthetic corpus carries no emails/URLs, so the oracle parity
+    check only proves the no-match path — this exercises real matches and
+    asserts both engines mask identically (Java regex vs RE2 agreement on
+    the alternation-free patterns)."""
+    import duckdb
+    import pandas as pd
+
+    from geospatial_store_siting_spark.operators import text_ops
+    from geospatial_store_siting_spark.testing import frames_match
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "contact bob.smith+spam@mail.example.co or visit https://ex.org/a?b=1 now",
+                "no pii here at all",
+                "two mails a@b.io c@d.org and http://plain.example page",
+            ],
+            "n_chars": [70, 18, 50],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    old = geo.table("documents")
+    geo.createDataFrame(pdf).createOrReplaceTempView("documents")
+    try:
+        out = text_ops.scrub_pii(geo).toPandas().sort_values("doc_id")
+        assert list(out["n_emails"]) == [1, 0, 2]
+        assert list(out["n_urls"]) == [1, 0, 1]
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        ok, msg = frames_match(
+            out, con.execute(text_ops.scrub_pii_oracle_sql()).df()
+        )
+        assert ok, msg
+    finally:
+        old.createOrReplaceTempView("documents")
+
+
 class TestPhaseSummary:
     def _scored(self, geo, sales):
         rows = [
