@@ -96,6 +96,15 @@ def main() -> None:
     result = {"localN": rN, "local4N": r4N, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # replace this harness's own section on rerun (blind append would
+    # accumulate contradictory measurements)
+    existing = open(md_path).read() if os.path.exists(md_path) else ""
+    marker = "\n## Dedup (MinHash-LSH) scaling"
+    if marker in existing:
+        nxt = existing.find("\n## ", existing.index(marker) + 1)
+        existing = existing[: existing.index(marker)] + (existing[nxt:] if nxt >= 0 else "")
+    with open(md_path, "w") as f:
+        f.write(existing)
     with open(md_path, "a") as f:
         f.write(
             f"\n## Dedup (MinHash-LSH) scaling — docs ×{repl} at {sf_dir}\n\n"
