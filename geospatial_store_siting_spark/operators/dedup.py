@@ -780,3 +780,59 @@ WHERE EXISTS (
   SELECT 1 FROM ({exact_dedup_oracle_sql()}) __k
   WHERE __k.canonical_doc = d.doc_id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# The composed cleaning pipeline (what a training run actually executes)
+# ---------------------------------------------------------------------------
+
+def training_corpus(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The end-to-end corpus-cleaning pipeline, composed from the
+    oracle-checked stages a training run chains:
+
+    1. quality filter        — keep docs passing the score gate
+       (text_ops.quality_score);
+    2. exact dedup           — keep one canonical doc per fingerprint
+       group (exact_dedup);
+    3. near-dup clustering   — drop every non-canonical member of a
+       near-duplicate component (near_dup_components: Jaccard ∪ SimHash
+       pairs → connected components; the min-id doc represents each);
+    4. PII scrub             — emit the masked-text witness (scrub_pii).
+
+    Plan shape: three semi/anti joins on doc_id against doc-level keep/
+    drop sets (each tiny next to the corpus) + one equi-join for the
+    scrubbed projection — the corpus streams through once; no stage
+    materializes more than doc-level rows."""
+    from .text_ops import quality_score, scrub_pii
+
+    docs = spark.table("documents")
+    keep_quality = quality_score(spark).filter(F.col("keep")).select("doc_id")
+    keep_exact = exact_dedup(spark).select(F.col("canonical_doc").alias("doc_id"))
+    near_drop = (
+        near_dup_components(spark, sf_dir=sf_dir)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(keep_quality, "doc_id", "left_semi")
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+    )
+    return kept.select("doc_id", "lang", "n_chars").join(
+        scrub_pii(spark), "doc_id"
+    ).select("doc_id", "lang", "n_chars", "n_emails", "n_urls", "scrubbed_md5")
+
+
+def training_corpus_oracle_sql() -> str:
+    from .text_ops import quality_score_oracle_sql, scrub_pii_oracle_sql
+
+    return f"""
+SELECT d.doc_id, d.lang, d.n_chars, s.n_emails, s.n_urls, s.scrubbed_md5
+FROM documents d
+JOIN ({scrub_pii_oracle_sql()}) s ON d.doc_id = s.doc_id
+WHERE EXISTS (SELECT 1 FROM ({quality_score_oracle_sql()}) q
+              WHERE q.doc_id = d.doc_id AND q.keep)
+  AND EXISTS (SELECT 1 FROM ({exact_dedup_oracle_sql()}) e
+              WHERE e.canonical_doc = d.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM ({near_dup_components_oracle_sql()}) c
+                  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component)"""
