@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": _q(relational.supplier_part_union),
         "rollup_revenue": _q(relational.rollup_revenue),
         "cube_revenue": _q(relational.cube_revenue),
+        "grouping_sets_revenue": _q(relational.grouping_sets_revenue),
         "events_running_totals": _q(events_ops.running_totals),
         "events_asof_join": _q(events_ops.asof_last_view),
         "events_interval_join": _q(events_ops.interval_join),
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct": relational.supplier_part_union_oracle_sql(),
         "rollup_revenue": relational.rollup_revenue_oracle_sql(),
         "cube_revenue": relational.cube_revenue_oracle_sql(),
+        "grouping_sets_revenue": relational.grouping_sets_revenue_oracle_sql(),
         "events_running_totals": events_ops.running_totals_oracle_sql(),
         "dedup_embedding_cosine": dedup.embedding_near_dup_oracle_sql(),
         "dedup_embedding_cosine_exact": dedup.embedding_near_dup_exact_oracle_sql(),

@@ -302,3 +302,30 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
+def grouping_sets_revenue(spark: SparkSession) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    per-status totals, per-priority totals, and the grand total — but NOT
+    the (status, priority) cross, which CUBE would force.  Spark SQL's
+    GROUPING SETS clause plans the same single-Expand aggregate as
+    rollup/cube."""
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+def grouping_sets_revenue_oracle_sql() -> str:
+    return """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""

@@ -128,6 +128,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_view_join_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase joined to the same user's
+    views within the preceding ``window`` — the remaining streaming join
+    family (windows/sessions/stateful are above).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict expired rows:
+    a view is held only until ``watermark`` past its event time.  The
+    equivalence tests use an effectively-infinite watermark so the final
+    result equals the batch inequality join; production uses a tight one
+    so state stays bounded — the same convention as sessionize_stream."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "view_event_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("secs_between"),
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs protobuf in the Python worker
     (its state-server protocol is protobuf-encoded); this offline sandbox

@@ -148,3 +148,35 @@ def test_transform_with_state_running_totals(geo):
             geo.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             geo.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_join_equals_batch(geo):
+    """Stream-stream purchase⋈view join (watermarked, time-bounded) must
+    converge to the batch inequality join on the same events."""
+    ev = stream_jobs.events_stream(geo, SF_DIR)
+    joined = stream_jobs.purchase_view_join_stream(ev, watermark="30 days")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = (
+        geo.sql("SELECT * FROM ss_join_out")
+        .toPandas()
+        .sort_values(["purchase_event_id", "view_event_id"])
+        .reset_index(drop=True)
+    )
+    batch = geo.sql(
+        """
+SELECT p.event_id AS purchase_event_id, p.user_id, v.event_id AS view_event_id,
+       unix_timestamp(p.ts) - unix_timestamp(v.ts) AS secs_between
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR"""
+    ).toPandas().sort_values(["purchase_event_id", "view_event_id"]).reset_index(drop=True)
+    assert len(out) == len(batch) and len(batch) > 0
+    assert out.equals(batch[out.columns])
