@@ -34,8 +34,14 @@ from .text_ops import token_count_sql
 N_SHINGLE_WORDS = 3
 MAX_SHINGLES = 40  # per-doc cap: bounded work per document
 DF_CAP = 50  # posting-list cap: drop ubiquitous shingles (skew + noise)
-MINHASH_SEEDS = 8
-LSH_BANDS = 4  # 2 seeds per band
+# Production LSH shape: 64 hashes in 16 bands of 4 rows.  The b·r
+# S-curve at (b=16, r=4): P(candidate | s) = 1-(1-s^4)^16 ≈ 0.63 at the
+# 0.5 threshold but < 0.026 at s=0.2 — the toy 8×(r=2) shape collided
+# ~15% of 0.2-similar pairs, flooding the refine join inside hot buckets
+# at corpus scale.  The signature build is a durable content-keyed stage,
+# so the 8× wider table is paid once per corpus, not per query.
+MINHASH_SEEDS = 64
+LSH_BANDS = 16  # 4 seeds per band
 
 
 def shingles(spark: SparkSession) -> DataFrame:
@@ -668,11 +674,12 @@ def near_dup_components(
     distributed min-label propagation: each round joins labels across the
     symmetric edge list and every node adopts the min of its own and its
     neighbors' labels; a fixpoint is reached within the largest component
-    diameter.  Each round localCheckpoints the label table (cuts the
-    exponentially growing lineage) and runs ONE count() as the convergence
-    test — the standard hash-join CC loop (cf. the large-star/small-star
-    formulation for web-scale graphs); no driver-side graph, state is one
-    (node, label) row per doc.
+    diameter.  Per-round state goes through durable content-keyed stages
+    (``_stage_or_checkpoint``) so a killed loop resumes from the last
+    committed round instead of restarting — the standard hash-join CC
+    loop (cf. the large-star/small-star formulation for web-scale
+    graphs); no driver-side graph, state is one (node, label) row per
+    doc.
 
     Oracle: DuckDB recursive CTE computing reachability, then MIN reachable
     id per node — the same fixpoint (transitive closure is Σ|component|²
@@ -680,13 +687,20 @@ def near_dup_components(
     j = ngram_jaccard_pairs(spark, sf_dir=sf_dir).select("a", "b")
     s = simhash_pairs(spark, sf_dir=sf_dir).select("a", "b")
     edges = j.unionByName(s).distinct()
-    return connected_components(spark, edges, max_iter=max_iter).select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    edges_key = (
+        "cc_edges|" + ngram_jaccard_pairs_oracle_sql() + "|" + simhash_pairs_oracle_sql()
     )
+    return connected_components(
+        spark, edges, max_iter=max_iter, sf_dir=sf_dir, content_key=edges_key
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
 def connected_components(
-    spark: SparkSession, edges: DataFrame, max_iter: int = CC_MAX_ITER
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = CC_MAX_ITER,
+    sf_dir: str | None = None,
+    content_key: str | None = None,
 ) -> DataFrame:
     """(node, label=min id in component) over an undirected edge list
     (a, b).  Hash-min propagation WITH pointer-doubling: each round every
@@ -695,18 +709,43 @@ def connected_components(
     chain depth per round, so convergence is O(log diameter) rounds, not
     O(diameter): a 2^25-long near-dup chain converges inside
     CC_MAX_ITER=25 (plain one-hop propagation would abort on any chain
-    longer than max_iter).  Each round localCheckpoints the label table
-    (cuts exponential lineage) and runs one count() as the fixpoint test."""
-    sym = (
+    longer than max_iter).
+
+    Durability: with ``sf_dir`` + ``content_key`` the symmetric edge
+    table and EVERY round's label table commit as content-keyed stages
+    (round number folded into the key), so (a) state lives on disk, not
+    in localCheckpoint's non-recomputable executor-memory blocks — at
+    corpus scale the symmetric near-dup edge list is itself huge and one
+    executor loss would otherwise abort the whole loop — and (b) a
+    killed run RESUMES: already-committed rounds are read back instead
+    of recomputed.  Without a data dir (ad-hoc edge frames) it falls
+    back to eager localCheckpoint per round.
+
+    Convergence test: each round's frame carries the previous label as
+    ``__old``, so "did anything change" is one filter+count over the
+    just-materialized table — no extra labels⋈new join per round."""
+
+    def mat(df: DataFrame, stage: str) -> DataFrame:
+        if sf_dir and content_key is not None:
+            return _stage_or_checkpoint(
+                spark, df, stage, f"{content_key}|{stage}", sf_dir,
+                code=(connected_components,),
+            )
+        return df.localCheckpoint(eager=True)
+
+    sym = mat(
         edges.select("a", "b")
         .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "cc_sym",
     )
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    labels = mat(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+        "cc_labels_r0",
+    )
+    for i in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("node", "__n"), F.col("b") == F.col("__n"))
             .groupBy("a")
@@ -714,28 +753,25 @@ def connected_components(
         )
         step = labels.join(nbr, labels.node == nbr.a, "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                 "label"
             ),
         )
         # pointer doubling: label <- label's label
         parent = step.select(F.col("node").alias("__pn"), F.col("label").alias("__pl"))
-        new = (
-            step.join(parent, step.label == parent.__pn, "left")
-            .select(
+        new = mat(
+            step.join(parent, step.label == parent.__pn, "left").select(
                 "node",
+                "__old",
                 F.least(F.col("label"), F.coalesce(F.col("__pl"), F.col("label"))).alias(
                     "label"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"cc_labels_r{i + 1}",
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "__old"), "node")
-            .filter(F.col("label") != F.col("__old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("__old")).count()
+        labels = new.drop("__old")
         if changed == 0:
             break
     else:

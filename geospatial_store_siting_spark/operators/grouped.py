@@ -74,7 +74,11 @@ SELECT d.site_id, d.metro, d.predicted_annual_sales,
 FROM devs d JOIN mads m ON d.metro = m.metro"""
 
 
-def metro_supply_balance(spark: SparkSession) -> DataFrame:
+def metro_supply_balance(
+    spark: SparkSession,
+    stores_df: DataFrame | None = None,
+    comps_df: DataFrame | None = None,
+) -> DataFrame:
     """Cogrouped-map (``cogroup(...).applyInPandas``): stores and
     competitors arrive as TWO aligned pandas frames per metro key and are
     reconciled in one kernel — the two-sided per-group escape hatch (the
@@ -90,8 +94,12 @@ def metro_supply_balance(spark: SparkSession) -> DataFrame:
         spark.table("sites")
         .filter(F.col("site_type") == "store")
         .select("metro", "annual_sales")
+        if stores_df is None
+        else stores_df.select("metro", "annual_sales")
     )
-    comps = spark.table("competitors").select("metro", "competitor_id")
+    comps = (
+        spark.table("competitors") if comps_df is None else comps_df
+    ).select("metro", "competitor_id")
 
     def merge(key, s_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         n_s, n_c = len(s_pdf), len(c_pdf)
@@ -126,14 +134,20 @@ def metro_supply_balance(spark: SparkSession) -> DataFrame:
     )
 
 
-def metro_supply_balance_oracle_sql() -> str:
+def metro_supply_balance_oracle_sql(
+    sites_sql: str | None = None, competitors_sql: str | None = None
+) -> str:
     """SQL twin: per-side grouped aggregates full-outer-joined on metro
     (cogroup passes an empty frame for a key missing on one side —
-    FULL OUTER + COALESCE mirrors that)."""
+    FULL OUTER + COALESCE mirrors that).  ``sites_sql``/``competitors_sql``
+    override the input relations so crafted fixtures (store-less metros)
+    can run the SAME skeleton the sf oracle uses."""
     from ..functions import hex_sql
 
+    sites_sql = sites_sql or hex_sql.sites_sql()
+    competitors_sql = competitors_sql or hex_sql.competitors_sql()
     return f"""
-WITH sites AS ({hex_sql.sites_sql()}), competitors AS ({hex_sql.competitors_sql()}),
+WITH sites AS ({sites_sql}), competitors AS ({competitors_sql}),
 s AS (
   SELECT metro, COUNT(*) AS n_stores,
          QUANTILE_CONT(annual_sales, 0.5) AS med

@@ -273,7 +273,7 @@ WITH toks AS (
 ),
 per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
 SELECT doc_id,
-       SUM(c) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct,
        (FLOOR((CAST(MAX(c) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0) AS top_token_ratio,
        (FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0) AS distinct_ratio
@@ -303,8 +303,15 @@ def scrub_pii(spark: SparkSession) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.expr(f"size(regexp_extract_all(text, '{EMAIL_RE}', 0))").cast("long").alias("n_emails"),
-        F.expr(f"size(regexp_extract_all(text, '{URL_RE}', 0))").cast("long").alias("n_urls"),
+        # Python-API regexp_extract_all: F.expr with the pattern inside a
+        # single-quoted SQL literal would unescape \. to a bare . (regex
+        # wildcard), silently loosening the count vs the masking regex.
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
         F.md5(masked).alias("scrubbed_md5"),
     )
 

@@ -13,15 +13,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(9)
-        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
-            df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+    # Kind-sensitive like the driver's gate: a DuckDB HUGEINT landing as
+    # float64 (un-cast SUM over integers) must NOT hash equal to Spark's
+    # int64 even when every value is integral; int widths (i4 vs i8)
+    # still compare equal.
+    kinds = ",".join(f"{c}:{df[c].dtype.kind}" for c in df.columns)
+    payload = kinds + "\n" + df.to_csv(index=False, float_format="%.9g")
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def frames_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:

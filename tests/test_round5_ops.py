@@ -1,0 +1,180 @@
+"""Round-5 operator tests: durable connected-components resume, strict
+oracle hashing, MinHash production width, cogroup zero-store parity."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_store_siting_spark.operators import dedup
+from geospatial_store_siting_spark.sources import snapshots
+
+
+class TestConnectedComponentsDurability:
+    def _run(self, spark, tmp_root, monkeypatch):
+        monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_root))
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)],
+            "a bigint, b bigint",
+        )
+        return dedup.connected_components(
+            spark, edges, sf_dir="cc-resume-test", content_key="path30+tri"
+        ).toPandas()
+
+    def test_kill_and_resume_from_committed_stages(self, spark, tmp_path, monkeypatch):
+        """A killed CC loop must resume from committed label stages: after
+        deleting the LAST rounds' stage dirs (simulating a mid-loop crash),
+        a re-run (a) reproduces the same labels and (b) reuses every
+        surviving stage unchanged (manifest commit timestamps identical —
+        read, not recomputed)."""
+        out1 = self._run(spark, tmp_path, monkeypatch)
+        assert (out1[out1["node"] <= 30]["label"] == 0).all()
+        assert set(out1[out1["node"] >= 100]["label"]) == {100}
+
+        label_dirs = sorted(glob.glob(str(tmp_path / "*_cc_labels_r*")))
+        assert len(label_dirs) >= 3  # r0 + at least two propagation rounds
+        sym_dirs = glob.glob(str(tmp_path / "*_cc_sym_*"))
+        assert len(sym_dirs) == 1
+
+        def committed_at(d):
+            with open(os.path.join(d, "_manifest.json")) as f:
+                return json.load(f)["committed_at"]
+
+        # simulate a crash after the first two committed rounds
+        survivors = label_dirs[:2] + sym_dirs
+        stamps = {d: committed_at(d) for d in survivors}
+        for d in label_dirs[2:]:
+            import shutil
+
+            shutil.rmtree(d)
+
+        out2 = self._run(spark, tmp_path, monkeypatch)
+        assert out2.sort_values("node").reset_index(drop=True).equals(
+            out1.sort_values("node").reset_index(drop=True)
+        )
+        for d, t in stamps.items():
+            assert committed_at(d) == t, f"stage {d} was recomputed, not reused"
+        # the crashed rounds were re-committed
+        assert sorted(glob.glob(str(tmp_path / "*_cc_labels_r*"))) == label_dirs
+
+    def test_adhoc_edges_still_use_local_checkpoint(self, spark):
+        """Without a data dir the loop must still work (localCheckpoint
+        fallback) — no stage dirs required."""
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+        out = dedup.connected_components(spark, edges).toPandas()
+        assert set(out["label"]) == {1}
+
+
+class TestStrictOracleHash:
+    """tools/check_oracle.py must reproduce the driver's kind-sensitive
+    value hash: an oracle whose integer SUM lands as float64 (DuckDB
+    HUGEINT) must FAIL against Spark's int64 even when values are equal."""
+
+    def _tools(self):
+        import importlib.util
+        import sys
+
+        path = os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py")
+        spec = importlib.util.spec_from_file_location("check_oracle_t5", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["check_oracle_t5"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_uncast_sum_is_caught(self):
+        import pandas as pd
+
+        t = self._tools()
+        spark_like = pd.DataFrame({"k": [1, 2], "n": pd.array([10, 20], dtype="int64")})
+        duck_like = pd.DataFrame({"k": [1, 2], "n": pd.array([10.0, 20.0], dtype="float64")})
+        assert t.value_hash(t.norm(spark_like)) != t.value_hash(t.norm(duck_like))
+
+    def test_int_width_does_not_matter(self):
+        import pandas as pd
+
+        t = self._tools()
+        a = pd.DataFrame({"k": pd.array([1, 2], dtype="int32")})
+        b = pd.DataFrame({"k": pd.array([1, 2], dtype="int64")})
+        assert t.value_hash(t.norm(a)) == t.value_hash(t.norm(b))
+
+
+class TestCogroupZeroStoreParity:
+    """ADVICE latent: a metro with competitors but zero (or no) store rows
+    must produce IDENTICAL output from the cogrouped-map kernel and the
+    FULL OUTER oracle — the sf corpus never exercises that path, so this
+    crafted fixture does: a store-less metro (non-store sites only), a
+    competitor-less metro, and a metro present only in competitors."""
+
+    SITES = [
+        ("m_both", "store", 100000.0),
+        ("m_both", "store", 200000.0),
+        ("m_both", "candidate", None),
+        ("m_no_comp", "store", 500000.0),
+        ("m_no_store", "candidate", None),  # metro exists, zero stores
+    ]
+    COMPS = [
+        ("m_both", 1),
+        ("m_both", 2),
+        ("m_no_store", 3),
+        ("m_no_store", 4),
+        ("m_no_store", 5),
+        ("m_only_comp", 6),
+    ]
+
+    def test_kernel_matches_oracle_on_storeless_metros(self, spark):
+        import duckdb
+
+        from geospatial_store_siting_spark.operators import grouped
+        from geospatial_store_siting_spark.testing import frames_match
+
+        stores_df = spark.createDataFrame(
+            [(m, s) for m, t, s in self.SITES if t == "store"],
+            "metro string, annual_sales double",
+        )
+        comps_df = spark.createDataFrame(
+            self.COMPS, "metro string, competitor_id bigint"
+        )
+        sdf = grouped.metro_supply_balance(
+            spark, stores_df=stores_df, comps_df=comps_df
+        ).toPandas()
+
+        sites_vals = ", ".join(
+            f"('{m}', '{t}', {('NULL' if s is None else s)})" for m, t, s in self.SITES
+        )
+        comp_vals = ", ".join(f"('{m}', {i})" for m, i in self.COMPS)
+        sql = grouped.metro_supply_balance_oracle_sql(
+            sites_sql=(
+                "SELECT * FROM (VALUES "
+                + sites_vals
+                + ") AS t(metro, site_type, annual_sales)"
+            ),
+            competitors_sql=(
+                "SELECT * FROM (VALUES " + comp_vals + ") AS t(metro, competitor_id)"
+            ),
+        )
+        ddf = duckdb.connect().execute(sql).df()
+        # cogroup only emits keys present on at least one side — so does
+        # FULL OUTER; both must contain all four metros incl. m_no_store
+        assert set(sdf["metro"]) == {"m_both", "m_no_comp", "m_no_store", "m_only_comp"}
+        ok, why = frames_match(sdf, ddf)
+        assert ok, why
+        row = sdf[sdf["metro"] == "m_no_store"].iloc[0]
+        assert row["n_stores"] == 0 and row["n_competitors"] == 3
+        assert row["stores_per_competitor"] != row["stores_per_competitor"]  # NaN
+
+
+def test_minhash_width_is_production_shape():
+    """64 hashes / 16 bands of 4 rows: the b·r S-curve keeps threshold-0.5
+    candidates while collapsing s=0.2 false candidates — 8×4 (2-row bands)
+    had P(candidate|s=0.2) ≈ 0.15; 16×4-row bands push it under 0.03."""
+    assert dedup.MINHASH_SEEDS == 64
+    assert dedup.LSH_BANDS == 16
+    r = dedup.MINHASH_SEEDS // dedup.LSH_BANDS
+    p_low = 1 - (1 - 0.2**r) ** dedup.LSH_BANDS
+    p_mid = 1 - (1 - 0.5**r) ** dedup.LSH_BANDS
+    assert p_low < 0.03
+    assert p_mid > 0.5

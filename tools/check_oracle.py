@@ -10,11 +10,9 @@ Usage: python tools/check_oracle.py [name ...]
 
 from __future__ import annotations
 
-import hashlib
 import sys
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -22,24 +20,17 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from geospatial_store_siting_spark.session import get_spark  # noqa: E402
 from geospatial_store_siting_spark.sources.tables import BASE_TABLES  # noqa: E402
 
+# One source of truth for the strict (kind-sensitive) compare protocol —
+# testing.normalize/value_hash reproduce the driver's gate: a DuckDB
+# HUGEINT landing as float64 (un-cast SUM over integers) hashes UNEQUAL
+# to Spark's int64 even when every value is integral; int widths (i4 vs
+# i8) still compare equal.
+from geospatial_store_siting_spark.testing import (  # noqa: E402
+    normalize as norm,
+    value_hash,
+)
+
 SF_DIR = "/root/testdata/sf0.01"
-
-
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(9)
-        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
-            df[c] = df[c].astype("int64")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
-def value_hash(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
 
 
 def main(names: list[str]) -> int:
