@@ -120,7 +120,12 @@ def main() -> None:
     existing = open(path).read() if os.path.exists(path) else ""
     marker = "\n## Skewed-grid hot-cell top-k"
     if marker in existing:
-        existing = existing[: existing.index(marker)]
+        # keep everything after this harness's own section (sections from
+        # other harnesses may follow — truncating to EOF would delete them)
+        nxt = existing.find("\n## ", existing.index(marker) + 1)
+        existing = existing[: existing.index(marker)] + (
+            existing[nxt:] if nxt >= 0 else ""
+        )
     with open(path, "w") as f:
         f.write(
             existing

@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huff_beta_calibration": _q(ml.calibrate_huff_beta),
         "ml_predictions": _q(ml.model_predictions),
         "ml_feature_importance": _q(ml.feature_importance),
+        "ml_cv_report": _q(ml.cross_validate_sales_model),
         "media_feature_summary": _q(multimodal.media_feature_summary),
         # --- imputation / encoding / windows (J14, M1, W1) ---
         "median_imputation": _q(encode.median_imputation),

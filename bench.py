@@ -110,10 +110,19 @@ def main() -> None:
     feat_path = tempfile.mkdtemp(prefix="bench_feat_") + "/features"
     BENCH_QUERIES["hex_feature_join"](spark).write.mode("overwrite").parquet(feat_path)
     spark.read.parquet(feat_path).createOrReplaceTempView("bench_features")
-    # likewise commit the minhash signature stage untimed: the pipeline
-    # posture is a committed stage table, so the timed query measures the
-    # warm (stage-reading) path even when .snapshots starts cold
+    # commit the minhash signature stage before the timed loop: the
+    # pipeline posture is a committed stage table, so the timed query
+    # measures the warm (stage-reading) path — but the stage build itself
+    # is DISCLOSED, not hidden: the committed stage is removed first and
+    # the true cold build is timed and reported as cold_sec
+    import shutil
+
+    from geospatial_store_siting_spark.operators import dedup
+
+    shutil.rmtree(dedup.minhash_signature_stage_path(SF_DIR), ignore_errors=True)
+    t0 = time.perf_counter()
     _minhash(spark).write.mode("overwrite").format("noop").save()
+    cold = {"dedup_minhash_lsh": round(time.perf_counter() - t0, 3)}
 
     times: dict[str, float] = {}
     build: dict[str, float] = {}
@@ -142,6 +151,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "build_sec": build,
+                # cold_sec: one-time durable-stage builds (removed + rebuilt
+                # cold above; the per-query time is the warm stage-read path)
+                "cold_sec": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "rows": rows,
                 "rows_per_sec": rps,

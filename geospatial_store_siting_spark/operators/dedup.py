@@ -101,15 +101,36 @@ def _stage_or_checkpoint(
     a data dir (ad-hoc plans over unregistered inputs): eager
     localCheckpoint, reclaimed on plan GC."""
     if sf_dir:
-        import hashlib
-        import inspect
-
         from ..sources import iceberg
 
-        src = "".join(inspect.getsource(f) for f in code)
-        key = content_sql + "|code:" + hashlib.md5(src.encode()).hexdigest()
-        return iceberg.write_stage(spark, df, name, sf_dir, content_key=key)
+        return iceberg.write_stage(
+            spark, df, name, sf_dir, content_key=_content_key(content_sql, code)
+        )
     return df.localCheckpoint(eager=True)
+
+
+def _content_key(content_sql: str, code=()) -> str:
+    import hashlib
+    import inspect
+
+    src = "".join(inspect.getsource(f) for f in code)
+    return content_sql + "|code:" + hashlib.md5(src.encode()).hexdigest()
+
+
+def minhash_signature_stage_path(sf_dir: str) -> str:
+    """Filesystem location of the durable MinHash signature stage
+    (parquet fallback) — lets a harness remove it to measure a true COLD
+    stage build (bench.py reports it as ``cold_sec``)."""
+    from ..sources import iceberg
+
+    return iceberg.stage_path(
+        None,
+        "minhash_signatures",
+        sf_dir,
+        content_key=_content_key(
+            minhash_signatures_sql(), (shingles, minhash_signatures)
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -7,8 +7,14 @@ calibration, with the reference's quality-gate semantics.
   per SURVEY §7.0(b); same feature/label contract, same R²/MAPE gates at
   `notebooks/_config.py:156-158`).
 - ``feature_contributions`` — the shap_top5 JSON contract
-  (`notebooks/13_score_candidates.py:123-146`) approximated by
-  importance × standardized value, serialized with to_json.
+  (`notebooks/13_score_candidates.py:123-146`) via SAABAS path
+  attribution over the trained GBT: each tree's prediction decomposes
+  exactly into bias + per-feature deltas along the decision path
+  (value(child) − value(node) charged to the split feature), so
+  bias + Σ contributions == the model's prediction per row — true
+  per-row tree attribution, not a proxy.  Tree tables are extracted
+  once on the driver (30 trees × ≤31 nodes) and broadcast; the kernel
+  is one Arrow-batched pandas UDF doing vectorized node descent.
 - ``calibrate_huff_beta`` — the reference's driver-side nested loops
   (`notebooks/10_feature_engineering.py:469-549`) re-expressed as a
   DISTRIBUTED grid search: β is a column from explode(β-grid), gravity/
@@ -25,6 +31,8 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,9 +81,13 @@ def training_frame(spark: SparkSession) -> DataFrame:
     return feats.join(stores, "site_id", "inner")
 
 
-def train_sales_model(spark: SparkSession):
+def train_sales_model(spark: SparkSession, cv_folds: int | None = None):
     """GBT regression with seeded split + reference quality gates.
-    Returns (model, metrics dict)."""
+    Returns (model, metrics dict).  ``cv_folds=k`` additionally runs
+    k-fold CV first (`cross_validate_sales_model`) and attaches
+    ``cv_r2_mean`` / ``cv_r2_std`` / ``cv_passes_gate`` to the metrics —
+    the reference's confidence-interval step before the final fit
+    (`notebooks/11_train_model.py:110-167`)."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import GBTRegressor
@@ -107,15 +119,97 @@ def train_sales_model(spark: SparkSession):
             zip(FEATURE_COLS, [float(x) for x in model.featureImportances.toArray()])
         ),
     }
+    if cv_folds:
+        cv = cross_validate_sales_model(spark, k=cv_folds).first()
+        metrics.update(
+            cv_r2_mean=cv["r2_mean"], cv_r2_std=cv["r2_std"],
+            cv_passes_gate=cv["passes_gate"], cv_stable=cv["stable"],
+        )
     return model, metrics
+
+
+def _tree_table(tree_model):
+    """Flatten a pyspark.ml DecisionTreeRegressionModel into parallel
+    numpy arrays (feature, threshold, left, right, value) with one
+    driver-side walk of the JVM node graph — O(numNodes), tiny for
+    depth-4 trees, and the broadcastable form the Saabas kernel needs.
+    Internal nodes carry the subtree mean as ``prediction()``, which is
+    exactly the node value Saabas attribution differences."""
+    feat: list[int] = []
+    thr: list[float] = []
+    left: list[int] = []
+    right: list[int] = []
+    val: list[float] = []
+
+    def add(node) -> int:
+        idx = len(feat)
+        feat.append(-1)
+        thr.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        val.append(float(node.prediction()))
+        if "InternalNode" in node.getClass().getSimpleName():
+            split = node.split()
+            if "ContinuousSplit" not in split.getClass().getSimpleName():
+                # never produced here: assembled features are plain doubles
+                # with no categorical metadata
+                raise NotImplementedError("categorical splits not supported")
+            feat[idx] = int(split.featureIndex())
+            thr[idx] = float(split.threshold())
+            left[idx] = add(node.leftChild())
+            right[idx] = add(node.rightChild())
+        return idx
+
+    add(tree_model._call_java("rootNode"))
+    return (
+        np.array(feat, dtype=np.int32),
+        np.array(thr, dtype=np.float64),
+        np.array(left, dtype=np.int32),
+        np.array(right, dtype=np.int32),
+        np.array(val, dtype=np.float64),
+    )
+
+
+def saabas_contributions(X, trees, weights):
+    """Vectorized Saabas path attribution for a GBT ensemble.
+
+    ``X``: (n, d) float64; ``trees``: list of _tree_table outputs;
+    ``weights``: per-tree weights (GBT prediction = Σ wᵢ·treeᵢ(x)).
+    Returns (bias, contrib (n, d)) with the exact decomposition
+    bias + contrib.sum(1) == prediction — every split visited charges
+    w·(value(child) − value(node)) to its split feature.  All rows
+    descend in lockstep (numpy gather per level, no per-row Python),
+    the Arrow-batch-friendly form for the pandas UDF."""
+    n, d = X.shape
+    contrib = np.zeros((n, d))
+    bias = 0.0
+    rows = np.arange(n)
+    for (feat, thr, left, right, val), w in zip(trees, weights):
+        bias += w * val[0]
+        cur = np.zeros(n, dtype=np.int32)
+        active = feat[cur] >= 0
+        while active.any():
+            idx = cur[active]
+            f = feat[idx]
+            go_left = X[active, f] <= thr[idx]
+            child = np.where(go_left, left[idx], right[idx])
+            np.add.at(contrib, (rows[active], f), w * (val[child] - val[idx]))
+            cur[active] = child
+            active = feat[cur] >= 0
+    return bias, contrib
 
 
 def model_predictions(spark: SparkSession) -> DataFrame:
     """Rows-only query surface: GBT predictions for candidate sites with
-    the shap_top5-style contribution JSON."""
+    the shap_top5 contribution JSON (`notebooks/13_score_candidates.py:
+    123-146`) — per-row Saabas tree-path attribution (exact decomposition
+    of the GBT prediction), plus the bias and contribution-sum columns
+    that make the decomposition checkable: predicted_annual_sales ==
+    contrib_bias + contrib_sum to float precision (asserted in
+    tests/test_round5_ops.py with an independent numpy recomputation)."""
     from pyspark.ml.feature import VectorAssembler
 
-    model, metrics = train_sales_model(spark)
+    model, _ = train_sales_model(spark)
     from .features import location_features
 
     feats = location_features(spark).filter(F.col("site_type") == "candidate").na.fill(
@@ -123,28 +217,42 @@ def model_predictions(spark: SparkSession) -> DataFrame:
     )
     assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features_vec")
     pred = model.transform(assembler.transform(feats))
-    imps = metrics["feature_importances"]
-    # contribution proxy: importance * feature value, top-5 as JSON
-    contrib_cols = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("feature"),
-                (F.col(c) * F.lit(imps[c])).alias("contribution"),
+
+    trees = [_tree_table(t) for t in model.trees]
+    weights = [float(w) for w in model.treeWeights]
+    bc = spark.sparkContext.broadcast((trees, weights))
+    names = list(FEATURE_COLS)
+
+    @F.pandas_udf("struct<shap_top5:string,contrib_bias:double,contrib_sum:double>")
+    def attributions(batch: pd.DataFrame) -> pd.DataFrame:
+        b_trees, b_weights = bc.value
+        X = batch[names].to_numpy(dtype=np.float64)
+        bias, contrib = saabas_contributions(X, b_trees, b_weights)
+        rounded = np.floor(contrib * 1e6 + 0.5) / 1e6
+        out_json = []
+        for r in rounded:
+            # deterministic top-5: contribution desc, feature name asc
+            order = sorted(range(len(names)), key=lambda i: (-r[i], names[i]))[:5]
+            out_json.append(
+                json.dumps(
+                    [{"feature": names[i], "contribution": r[i]} for i in order]
+                )
             )
-            for c in FEATURE_COLS
-        ]
-    )
-    top5 = F.slice(
-        F.reverse(F.array_sort(contrib_cols, lambda a, b: F.when(
-            a["contribution"] < b["contribution"], -1
-        ).when(a["contribution"] > b["contribution"], 1).otherwise(0))),
-        1,
-        5,
-    )
-    return pred.select(
+        return pd.DataFrame(
+            {
+                "shap_top5": out_json,
+                "contrib_bias": np.full(len(X), bias),
+                "contrib_sum": contrib.sum(axis=1),
+            }
+        )
+
+    att = attributions(F.struct(*[F.col(c) for c in names]))
+    return pred.withColumn("__att", att).select(
         "site_id",
         F.col("prediction").alias("predicted_annual_sales"),
-        F.to_json(top5).alias("shap_top5"),
+        F.col("__att.shap_top5").alias("shap_top5"),
+        F.col("__att.contrib_bias").alias("contrib_bias"),
+        F.col("__att.contrib_sum").alias("contrib_sum"),
     )
 
 
@@ -232,6 +340,87 @@ per_beta AS (
 SELECT beta, corr_with_sales, n_stores,
        (ROW_NUMBER() OVER (ORDER BY corr_with_sales DESC, beta ASC)) = 1 AS is_best
 FROM per_beta"""
+
+
+CV_FOLDS = 5  # reference `notebooks/_config.py:159`
+CV_R2_STD_STABILITY = 0.15  # reference `notebooks/11_train_model.py:161`
+
+
+def cross_validate_sales_model(spark: SparkSession, k: int = CV_FOLDS) -> DataFrame:
+    """k-fold CV confidence intervals (`notebooks/11_train_model.py:
+    110-167`): per-fold R²/MAPE/RMSE for a baseline GBT, with mean ± std
+    and the reference's gates — quality gate on the MEAN R² vs
+    MODEL_R2_GATE, stability flag when the R² std exceeds 0.15.
+
+    Fold assignment is ``crc32(site_id) mod k`` — deterministic and
+    shuffle-free in a distributed setting (the reference's row-order
+    KFold(shuffle=True) has no stable distributed analog); each fold
+    fits on the other k−1 folds and evaluates on its own.  Rows-only
+    check (iterative ML), one row per fold with the summary columns
+    repeated (flat schema)."""
+    import math
+
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    df = training_frame(spark).na.fill(0.0, FEATURE_COLS)
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features_vec")
+    data = (
+        assembler.transform(df)
+        .select("site_id", "features_vec", "annual_sales")
+        .withColumn("fold", F.pmod(F.crc32(F.col("site_id").cast("string")), F.lit(k)))
+        .localCheckpoint(eager=True)  # k fits reuse one materialization
+    )
+    # hash folds can come up empty on tiny inputs (sf0.001 has ~15 store
+    # rows); evaluating an empty fold throws in the JVM summarizer, so CV
+    # runs over the populated folds only (mean/std are over those)
+    fold_sizes = {
+        r["fold"]: r["n"]
+        for r in data.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = []
+    for i in range(k):
+        if not fold_sizes.get(i):
+            continue
+        train = data.filter(F.col("fold") != i)
+        test = data.filter(F.col("fold") == i)
+        model = GBTRegressor(
+            featuresCol="features_vec",
+            labelCol="annual_sales",
+            maxIter=30,
+            maxDepth=4,
+            seed=42,
+        ).fit(train)
+        pred = model.transform(test)
+        r2 = RegressionEvaluator(
+            labelCol="annual_sales", predictionCol="prediction", metricName="r2"
+        ).evaluate(pred)
+        mape, rmse = pred.select(
+            F.avg(
+                F.abs(F.col("prediction") - F.col("annual_sales")) / F.col("annual_sales")
+            ),
+            F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("annual_sales"), 2))),
+        ).first()
+        rows.append((i, float(r2), float(mape), float(rmse)))
+
+    if not rows:
+        raise ValueError("cross-validation found no populated folds")
+    r2s = [r[1] for r in rows]
+    mean = sum(r2s) / len(r2s)
+    # population std, like the reference's np.std
+    std = math.sqrt(sum((x - mean) ** 2 for x in r2s) / len(r2s))
+    passes = bool(mean >= MODEL_R2_GATE)
+    stable = bool(std <= CV_R2_STD_STABILITY)
+    out = [
+        (fold, r2, mape, rmse, mean, std, passes, stable)
+        for fold, r2, mape, rmse in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "fold int, r2 double, mape double, rmse double, "
+        "r2_mean double, r2_std double, passes_gate boolean, stable boolean",
+    )
 
 
 def feature_importance(spark: SparkSession) -> DataFrame:

@@ -143,12 +143,23 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--force", action="store_true", help="recompute committed stages")
+    ap.add_argument(
+        "--prune",
+        action="store_true",
+        help="after the run, GC stale content-keyed snapshot dirs "
+        "(keep the latest committed snapshot per stage)",
+    )
     args = ap.parse_args()
 
     from ..session import get_spark
 
     spark = get_spark(app_name="gss-pipeline", cores=args.cores)
     report = run_pipeline(spark, args.sf_dir, force=args.force)
+    if args.prune:
+        from ..sources import snapshots
+
+        gc = snapshots.prune()
+        report["pruned"] = {"removed": len(gc["removed"]), "kept": len(gc["kept"])}
     print(json.dumps(report))
     spark.stop()
 

@@ -97,6 +97,71 @@ def read_manifest(sf_dir: str, name: str, defining_sql: str, root: str = DEFAULT
     return None
 
 
+def prune(
+    root: str = DEFAULT_ROOT,
+    keep_latest_per_stage: int = 1,
+    max_uncommitted_age_sec: float = 24 * 3600,
+) -> dict:
+    """Snapshot GC: content-keyed stage dirs accumulate every time a
+    defining SQL or producing function changes (invalidation makes a NEW
+    key and simply stops reading the old one).  For each stage —
+    dirs sharing ``{sf_tag}_{name}`` after stripping the 12-hex content
+    suffix — keep the ``keep_latest_per_stage`` most recently COMMITTED
+    snapshots and remove the rest.  Safety rules: a manifest-less dir is
+    either an in-flight writer (younger than ``max_uncommitted_age_sec``
+    — left alone) or a crashed commit (removed); orphaned ``*.tmp-<pid>``
+    writer dirs are reclaimed on the same age rule.  Returns
+    {"removed": [...], "kept": [...]} of directory names."""
+    import re
+
+    removed: list[str] = []
+    kept: list[str] = []
+    if not os.path.isdir(root):
+        return {"removed": removed, "kept": kept}
+    now = time.time()
+    groups: dict[str, list[tuple[float | None, str, str]]] = {}
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if not os.path.isdir(full):
+            continue
+        if ".tmp-" in d:
+            if now - os.path.getmtime(full) > max_uncommitted_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            else:
+                kept.append(d)
+            continue
+        m = re.match(r"^(.*)_[0-9a-f]{12}$", d)
+        stage = m.group(1) if m else d
+        committed = None
+        manifest = os.path.join(full, "_manifest.json")
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as f:
+                    committed = json.load(f).get("committed_at")
+            except (OSError, ValueError):
+                committed = None
+        groups.setdefault(stage, []).append((committed, d, full))
+    for entries in groups.values():
+        committed_e = sorted(
+            (e for e in entries if e[0] is not None), key=lambda e: e[0], reverse=True
+        )
+        for _, d, _full in committed_e[:keep_latest_per_stage]:
+            kept.append(d)
+        for _, d, full in committed_e[keep_latest_per_stage:]:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(d)
+        for committed, d, full in entries:
+            if committed is not None:
+                continue
+            if now - os.path.getmtime(full) > max_uncommitted_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            else:
+                kept.append(d)
+    return {"removed": removed, "kept": kept}
+
+
 def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """The write→rename→manifest commit protocol for an arbitrary
     DataFrame (the generic form of snapshot_table's SQL path; the Iceberg

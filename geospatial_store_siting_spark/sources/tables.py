@@ -84,6 +84,12 @@ def register_geo_views(
     from ..operators.features import invalidate_dim_cache, record_table_rows
 
     invalidate_dim_cache(spark)
+    # base inputs are being (re)registered: any gold stage view published
+    # by an earlier pipeline run in this session derives from the OLD
+    # inputs — serving it would silently mix provenance (even at the same
+    # sf_dir, e.g. a harness swapping a base temp view in-session), so
+    # drop unconditionally; the pipeline republish runs after load_all
+    _drop_stage_views(spark)
     out = {}
     rows: dict[str, int] = {}
     for name, sql_fn in all_views().items():
@@ -143,16 +149,23 @@ def stage_view(spark: SparkSession, name: str) -> DataFrame | None:
     return None
 
 
+def _drop_stage_views(spark: SparkSession) -> None:
+    """Unpublish every stage view in this session: called whenever base
+    tables are (re)registered — a consumer must never read gold tables
+    derived from inputs that are no longer the registered ones."""
+    for name in getattr(spark, _STAGE_NAMES_ATTR, None) or set():
+        spark.catalog.dropTempView(name)
+    setattr(spark, _STAGE_NAMES_ATTR, set())
+    setattr(spark, _STAGE_SF_ATTR, None)
+
+
 def _drop_stale_stage_views(spark: SparkSession, sf_dir: str) -> None:
     """Stage views committed for a DIFFERENT scale-factor dir must not
     survive a re-load: a consumer would silently read gold tables derived
     from other inputs."""
     if getattr(spark, _STAGE_SF_ATTR, None) in (None, sf_dir):
         return
-    for name in getattr(spark, _STAGE_NAMES_ATTR, None) or set():
-        spark.catalog.dropTempView(name)
-    setattr(spark, _STAGE_NAMES_ATTR, set())
-    setattr(spark, _STAGE_SF_ATTR, None)
+    _drop_stage_views(spark)
 
 
 def oracle_cte(name: str) -> str:

@@ -167,6 +167,137 @@ class TestCogroupZeroStoreParity:
         assert row["stores_per_competitor"] != row["stores_per_competitor"]  # NaN
 
 
+def test_stage_views_dropped_on_base_reregistration(geo):
+    """Re-registering base tables at the SAME sf_dir must unpublish gold
+    stage views: they derive from the previous inputs (ADVICE latent —
+    a harness swapping a base temp view in-session would otherwise read
+    features built from the old tables)."""
+    from geospatial_store_siting_spark.sources import tables
+
+    tables.register_stage_view(
+        geo, "stage_staleness_probe", geo.range(3), "/root/testdata/sf0.001"
+    )
+    assert tables.stage_view(geo, "stage_staleness_probe") is not None
+    tables.load_all(geo, "/root/testdata/sf0.001")  # same sf_dir
+    assert tables.stage_view(geo, "stage_staleness_probe") is None
+
+
+class TestSnapshotPrune:
+    def test_stale_keys_removed_active_survive_resume_works(self, spark, tmp_path):
+        root = str(tmp_path)
+        # a "modified plan": same stage name, two content keys
+        snapshots.snapshot_table(spark, "stg", "SELECT 1 AS x", "sfX", root=root)
+        snapshots.snapshot_table(spark, "stg", "SELECT 2 AS x", "sfX", root=root)
+        snapshots.snapshot_table(spark, "other", "SELECT 3 AS x", "sfX", root=root)
+
+        def manifest(sql, name="stg"):
+            return os.path.join(
+                root, snapshots._key("sfX", name, sql), "_manifest.json"
+            )
+
+        # make the superseded key strictly older
+        with open(manifest("SELECT 1 AS x")) as f:
+            meta = json.load(f)
+        meta["committed_at"] -= 100
+        with open(manifest("SELECT 1 AS x"), "w") as f:
+            json.dump(meta, f)
+        # crashed commit (manifest-less, old) and in-flight writer (recent)
+        crashed = tmp_path / "sfX_crashed_aaaaaaaaaaaa"
+        crashed.mkdir()
+        os.utime(crashed, (1, 1))
+        inflight = tmp_path / "sfX_stg_bbbbbbbbbbbb.tmp-123"
+        inflight.mkdir()
+
+        res = snapshots.prune(root=root)
+        assert os.path.basename(os.path.dirname(manifest("SELECT 1 AS x"))) in res[
+            "removed"
+        ]
+        assert str(crashed.name) in res["removed"]
+        assert not crashed.exists()
+        assert os.path.exists(manifest("SELECT 2 AS x"))
+        assert os.path.exists(manifest("SELECT 3 AS x", "other"))
+        assert inflight.exists()  # younger than the age cutoff
+
+        # resume: the surviving stage is REUSED (manifest untouched), the
+        # pruned one recomputes cleanly
+        t_before = os.path.getmtime(manifest("SELECT 2 AS x"))
+        again = snapshots.snapshot_table(spark, "stg", "SELECT 2 AS x", "sfX", root=root)
+        assert again.first()["x"] == 2
+        assert os.path.getmtime(manifest("SELECT 2 AS x")) == t_before
+        redo = snapshots.snapshot_table(spark, "stg", "SELECT 1 AS x", "sfX", root=root)
+        assert redo.first()["x"] == 1
+
+
+class TestSaabasContributions:
+    def test_decomposition_matches_jvm_prediction(self, geo):
+        """The Saabas attribution must decompose the GBT prediction
+        EXACTLY: contrib_bias + contrib_sum == the JVM model's prediction
+        for every row — the numpy kernel (tree tables walked per level)
+        is a fully independent re-evaluation path of the same ensemble."""
+        import json
+
+        import numpy as np
+
+        from geospatial_store_siting_spark.operators import ml
+
+        pdf = ml.model_predictions(geo).toPandas()
+        assert len(pdf) > 0
+        resid = np.abs(
+            pdf["predicted_annual_sales"] - (pdf["contrib_bias"] + pdf["contrib_sum"])
+        )
+        assert float(resid.max()) < 1e-6, f"max residual {resid.max()}"
+        top = json.loads(pdf["shap_top5"].iloc[0])
+        assert len(top) == 5
+        contribs = [t["contribution"] for t in top]
+        assert contribs == sorted(contribs, reverse=True)
+        assert all(t["feature"] in ml.FEATURE_COLS for t in top)
+
+    def test_kernel_agrees_on_crafted_matrix(self, geo):
+        """Descend a crafted matrix through the extracted tree tables and
+        compare against the model's own transform — row-level agreement
+        on real candidate features (not just the aggregate columns)."""
+        import numpy as np
+        from pyspark.ml.feature import VectorAssembler
+
+        from geospatial_store_siting_spark.operators import ml
+        from geospatial_store_siting_spark.operators.features import location_features
+
+        model, _ = ml.train_sales_model(geo)
+        feats = (
+            location_features(geo)
+            .filter("site_type = 'candidate'")
+            .na.fill(0.0, ml.FEATURE_COLS)
+            .limit(50)
+        )
+        assembler = VectorAssembler(inputCols=ml.FEATURE_COLS, outputCol="features_vec")
+        pred = (
+            model.transform(assembler.transform(feats))
+            .select("site_id", *ml.FEATURE_COLS, "prediction")
+            .toPandas()
+        )
+        trees = [ml._tree_table(t) for t in model.trees]
+        weights = [float(w) for w in model.treeWeights]
+        X = pred[ml.FEATURE_COLS].to_numpy(dtype=np.float64)
+        bias, contrib = ml.saabas_contributions(X, trees, weights)
+        np.testing.assert_allclose(
+            bias + contrib.sum(axis=1), pred["prediction"].to_numpy(), rtol=0, atol=1e-6
+        )
+
+
+def test_cv_report_shape_and_folds(geo):
+    from geospatial_store_siting_spark.operators import ml
+
+    pdf = ml.cross_validate_sales_model(geo, k=3).toPandas()
+    assert sorted(pdf["fold"]) == [0, 1, 2]
+    assert pdf["r2_mean"].nunique() == 1 and pdf["r2_std"].nunique() == 1
+    import numpy as np
+
+    np.testing.assert_allclose(pdf["r2_mean"].iloc[0], pdf["r2"].mean(), atol=1e-9)
+    np.testing.assert_allclose(
+        pdf["r2_std"].iloc[0], pdf["r2"].std(ddof=0), atol=1e-9
+    )
+
+
 def test_minhash_width_is_production_shape():
     """64 hashes / 16 bands of 4 rows: the b·r S-curve keeps threshold-0.5
     candidates while collapsing s=0.2 false candidates — 8×4 (2-row bands)
