@@ -312,20 +312,33 @@ def minhash_lsh_pairs(
         minhash_signatures_sql(), sf_dir,
         code=(shingles, minhash_signatures),
     )
+    # pack the 64 stage columns into ONE array column right after the
+    # stage read: every downstream plan (band explode + both refine
+    # sides) then carries a single expression instead of 64 scalar
+    # refs — at this width the column-per-component form costs seconds
+    # of Catalyst analysis per query.  The STAGE schema stays mh0..mh63
+    # (the cross-engine oracle contract).
     per_band = MINHASH_SEEDS // LSH_BANDS
+    packed = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bidx).alias("band"),
                 F.concat_ws(
                     "|",
-                    *[F.col(f"mh{bidx * per_band + j}") for j in range(per_band)],
+                    F.transform(
+                        F.slice("sig", bidx * per_band + 1, per_band),
+                        lambda x: x.cast("string"),
+                    ),
                 ).alias("bucket"),
             )
             for bidx in range(LSH_BANDS)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    buckets = packed.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     cand = (
@@ -335,10 +348,12 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_SEEDS)])
-    sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_SEEDS)])
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_SEEDS)
+    sa = packed.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = packed.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cand.join(sa, "a")
