@@ -112,18 +112,13 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    existing = open(path).read() if os.path.exists(path) else ""
-    marker = "\n## MinHash LSH width + durable CC"
-    if marker in existing:
-        nxt = existing.find("\n## ", existing.index(marker) + 1)
-        existing = existing[: existing.index(marker)] + (
-            existing[nxt:] if nxt >= 0 else ""
-        )
-    with open(path, "w") as f:
-        f.write(
-            existing
-            + f"\n## MinHash LSH width + durable CC — {n_docs} docs at {SF_DIR}, local[{CPUS}]\n\n"
+    from _md import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "\n## MinHash LSH width + durable CC",
+        (
+            f"\n## MinHash LSH width + durable CC — {n_docs} docs at {SF_DIR}, local[{CPUS}]\n\n"
             f"| measure | value |\n|---|---|\n"
             f"| LSH candidate pairs, toy 8 seeds / 4×2-row bands | {cand_old} |\n"
             f"| LSH candidate pairs, production 64 seeds / 16×4-row bands | {cand_new} |\n"
@@ -137,7 +132,8 @@ def main() -> None:
             f"stage: executor loss/resume replays from committed rounds (tested in "
             f"tests/test_round5_ops.py), and warm re-runs read parquet instead of "
             f"re-propagating.\n"
-        )
+        ),
+    )
     spark.stop()
 
 

@@ -95,24 +95,21 @@ def main() -> None:
     eff = (r4N["docs_per_sec"] / rN["docs_per_sec"]) / 4.0
     result = {"localN": rN, "local4N": r4N, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
-    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    from _md import replace_section
+
     # replace this harness's own section on rerun (blind append would
     # accumulate contradictory measurements)
-    existing = open(md_path).read() if os.path.exists(md_path) else ""
-    marker = "\n## Dedup (MinHash-LSH) scaling"
-    if marker in existing:
-        nxt = existing.find("\n## ", existing.index(marker) + 1)
-        existing = existing[: existing.index(marker)] + (existing[nxt:] if nxt >= 0 else "")
-    with open(md_path, "w") as f:
-        f.write(existing)
-    with open(md_path, "a") as f:
-        f.write(
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "\n## Dedup (MinHash-LSH) scaling",
+        (
             f"\n## Dedup (MinHash-LSH) scaling — docs ×{repl} at {sf_dir}\n\n"
             f"| metric | value | config |\n|---|---|---|\n"
             f"| docs/sec @ local[4] (N) | {rN['docs_per_sec']} | {rN['docs']} docs in {rN['sec']} s |\n"
             f"| docs/sec @ local[16] (4N) | {r4N['docs_per_sec']} | same input, same plan |\n"
             f"| scaling efficiency N→4N | **{round(eff, 3)}** | best-of-2 interleaved |\n"
-        )
+        ),
+    )
 
 
 if __name__ == "__main__":

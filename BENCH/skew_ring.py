@@ -116,20 +116,13 @@ def main() -> None:
     # replace this harness's own section on rerun (blind append would
     # accumulate contradictory measurements that scaling.py's
     # section-preserving rewrite then keeps forever)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    existing = open(path).read() if os.path.exists(path) else ""
-    marker = "\n## Skewed-grid hot-cell top-k"
-    if marker in existing:
-        # keep everything after this harness's own section (sections from
-        # other harnesses may follow — truncating to EOF would delete them)
-        nxt = existing.find("\n## ", existing.index(marker) + 1)
-        existing = existing[: existing.index(marker)] + (
-            existing[nxt:] if nxt >= 0 else ""
-        )
-    with open(path, "w") as f:
-        f.write(
-            existing
-            + f"\n## Skewed-grid hot-cell top-k — {n_rows} rows, 1 cell at "
+    from _md import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "\n## Skewed-grid hot-cell top-k",
+        (
+            f"\n## Skewed-grid hot-cell top-k — {n_rows} rows, 1 cell at "
             f"{HOT_ROWS} rows (~95% of corpus), local[{cores}]\n\n"
             f"| plan | wall | note |\n|---|---|---|\n"
             f"| window + rank<=k filter (Catalyst InferWindowGroupLimit) | {t_naive_wgl} s | map-side group limits — already skew-resistant |\n"
@@ -139,7 +132,8 @@ def main() -> None:
             f"Design rule: prefer the filter-inferable window form (Catalyst handles the\n"
             f"hot cell); use operators/skew.salted_topk when the per-key limit cannot be\n"
             f"inferred (rank consumed downstream, percentile frames, other engines).\n"
-        )
+        ),
+    )
     spark.stop()
 
 

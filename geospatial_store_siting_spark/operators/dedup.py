@@ -87,7 +87,7 @@ WHERE o.i <= {tk} - {N_SHINGLE_WORDS - 1}"""
 
 def _stage_or_checkpoint(
     spark: SparkSession, df: DataFrame, name: str, content_sql: str,
-    sf_dir: str | None = None, code=(),
+    sf_dir: str | None = None, code=(), force: bool = False,
 ) -> DataFrame:
     """Materialize a doc-level intermediate that feeds multiple plan
     branches.  With a known data dir: a DURABLE Iceberg/parquet stage
@@ -104,7 +104,8 @@ def _stage_or_checkpoint(
         from ..sources import iceberg
 
         return iceberg.write_stage(
-            spark, df, name, sf_dir, content_key=_content_key(content_sql, code)
+            spark, df, name, sf_dir,
+            content_key=_content_key(content_sql, code), force=force,
         )
     return df.localCheckpoint(eager=True)
 
@@ -115,22 +116,6 @@ def _content_key(content_sql: str, code=()) -> str:
 
     src = "".join(inspect.getsource(f) for f in code)
     return content_sql + "|code:" + hashlib.md5(src.encode()).hexdigest()
-
-
-def minhash_signature_stage_path(sf_dir: str) -> str:
-    """Filesystem location of the durable MinHash signature stage
-    (parquet fallback) — lets a harness remove it to measure a true COLD
-    stage build (bench.py reports it as ``cold_sec``)."""
-    from ..sources import iceberg
-
-    return iceberg.stage_path(
-        None,
-        "minhash_signatures",
-        sf_dir,
-        content_key=_content_key(
-            minhash_signatures_sql(), (shingles, minhash_signatures)
-        ),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +279,10 @@ GROUP BY doc_id"""
 
 
 def minhash_lsh_pairs(
-    spark: SparkSession, threshold: float = 0.5, sf_dir: str | None = None
+    spark: SparkSession,
+    threshold: float = 0.5,
+    sf_dir: str | None = None,
+    force_stage: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidates; the
     estimated similarity = fraction of agreeing minhash components.
@@ -310,7 +298,7 @@ def minhash_lsh_pairs(
     sig = _stage_or_checkpoint(
         spark, minhash_signatures(spark), "minhash_signatures",
         minhash_signatures_sql(), sf_dir,
-        code=(shingles, minhash_signatures),
+        code=(shingles, minhash_signatures), force=force_stage,
     )
     # pack the 64 stage columns into ONE array column right after the
     # stage read: every downstream plan (band explode + both refine
@@ -723,8 +711,12 @@ def near_dup_components(
     j = ngram_jaccard_pairs(spark, sf_dir=sf_dir).select("a", "b")
     s = simhash_pairs(spark, sf_dir=sf_dir).select("a", "b")
     edges = j.unionByName(s).distinct()
-    edges_key = (
-        "cc_edges|" + ngram_jaccard_pairs_oracle_sql() + "|" + simhash_pairs_oracle_sql()
+    # the key must track the edge producers' SPARK code too, not just
+    # their oracle SQL: a Spark-side-only fix (cap join, rounding) would
+    # otherwise keep serving pre-fix committed sym/label stages
+    edges_key = _content_key(
+        "cc_edges|" + ngram_jaccard_pairs_oracle_sql() + "|" + simhash_pairs_oracle_sql(),
+        code=(shingles, ngram_jaccard_pairs, simhash, simhash_pairs),
     )
     return connected_components(
         spark, edges, max_iter=max_iter, sf_dir=sf_dir, content_key=edges_key

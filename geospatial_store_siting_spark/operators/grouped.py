@@ -90,13 +90,13 @@ def metro_supply_balance(
     memory is one metro's rows.  (Hot metros would be the skew concern —
     the salting pattern of operators/skew.py applies upstream.)
     """
-    stores = (
-        spark.table("sites")
-        .filter(F.col("site_type") == "store")
-        .select("metro", "annual_sales")
-        if stores_df is None
-        else stores_df.select("metro", "annual_sales")
-    )
+    sites = spark.table("sites") if stores_df is None else stores_df
+    if "site_type" in sites.columns:
+        # same filter the oracle skeleton applies to ITS sites relation —
+        # an override passing the full sites table (the symmetric parity
+        # setup) must not count candidate/closed rows as stores
+        sites = sites.filter(F.col("site_type") == "store")
+    stores = sites.select("metro", "annual_sales")
     comps = (
         spark.table("competitors") if comps_df is None else comps_df
     ).select("metro", "competitor_id")

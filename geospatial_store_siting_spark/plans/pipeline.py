@@ -159,7 +159,11 @@ def main() -> None:
         from ..sources import snapshots
 
         gc = snapshots.prune()
-        report["pruned"] = {"removed": len(gc["removed"]), "kept": len(gc["kept"])}
+        gc_stages = snapshots.prune(root=STAGE_ROOT)
+        report["pruned"] = {
+            "removed": len(gc["removed"]) + len(gc_stages["removed"]),
+            "kept": len(gc["kept"]) + len(gc_stages["kept"]),
+        }
     print(json.dumps(report))
     spark.stop()
 

@@ -86,6 +86,8 @@ def snapshot_table(
             with open(manifest + f".tmp-{os.getpid()}", "w") as f:
                 json.dump(meta, f)
             os.rename(manifest + f".tmp-{os.getpid()}", manifest)
+    else:
+        touch_manifest(manifest)  # reuse: GC ranks live keys above stale ones
     return spark.read.parquet(path)
 
 
@@ -97,6 +99,37 @@ def read_manifest(sf_dir: str, name: str, defining_sql: str, root: str = DEFAULT
     return None
 
 
+def touch_manifest(manifest: str, min_interval_sec: float = 3600) -> None:
+    """Stamp ``last_used_at`` on a committed snapshot's manifest (atomic
+    rewrite), throttled so hot-loop readers (the CC rounds, warm bench
+    paths) don't rewrite it on every read.  prune() ranks snapshots by
+    this stamp, falling back to ``committed_at`` — so a stage key that is
+    still being READ survives GC even when a newer key was committed and
+    later abandoned (the plan-revert scenario: without the use stamp,
+    keep-latest-committed would delete the live snapshot and keep the
+    dead one)."""
+    try:
+        with open(manifest) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return
+    now = time.time()
+    if now - meta.get("last_used_at", meta.get("committed_at", 0)) < min_interval_sec:
+        return
+    meta["last_used_at"] = now
+    tmp = manifest + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, manifest)
+
+
+# content-keyed snapshot dirs are the ONLY thing prune may touch: the
+# snapshot root also legitimately hosts foreign trees (the pipeline's
+# stages/ subtree, bench harness corpora) that carry no manifest
+_KEY_DIR_RE = r"^(.+)_[0-9a-f]{12}$"
+_TMP_DIR_RE = r"^.+_[0-9a-f]{12}\.tmp-\d+$"
+
+
 def prune(
     root: str = DEFAULT_ROOT,
     keep_latest_per_stage: int = 1,
@@ -104,14 +137,18 @@ def prune(
 ) -> dict:
     """Snapshot GC: content-keyed stage dirs accumulate every time a
     defining SQL or producing function changes (invalidation makes a NEW
-    key and simply stops reading the old one).  For each stage —
-    dirs sharing ``{sf_tag}_{name}`` after stripping the 12-hex content
-    suffix — keep the ``keep_latest_per_stage`` most recently COMMITTED
-    snapshots and remove the rest.  Safety rules: a manifest-less dir is
-    either an in-flight writer (younger than ``max_uncommitted_age_sec``
-    — left alone) or a crashed commit (removed); orphaned ``*.tmp-<pid>``
-    writer dirs are reclaimed on the same age rule.  Returns
-    {"removed": [...], "kept": [...]} of directory names."""
+    key and simply stops reading the old one).  For each stage — dirs
+    sharing ``{sf_tag}_{name}`` after stripping the 12-hex content
+    suffix — keep the ``keep_latest_per_stage`` most recently USED
+    (``last_used_at``, falling back to ``committed_at``) snapshots and
+    remove the rest.  ONLY dirs matching the content-key naming pattern
+    are ever considered: anything else under the root (the pipeline's
+    ``stages/`` subtree, bench corpora, user files) is foreign and
+    untouchable.  A pattern-matching dir without a manifest is either an
+    in-flight writer (younger than ``max_uncommitted_age_sec`` — left
+    alone) or a crashed commit (removed); orphaned key-pattern
+    ``.tmp-<pid>`` writer dirs are reclaimed on the same age rule.
+    Returns {"removed": [...], "kept": [...]} of directory names."""
     import re
 
     removed: list[str] = []
@@ -124,24 +161,26 @@ def prune(
         full = os.path.join(root, d)
         if not os.path.isdir(full):
             continue
-        if ".tmp-" in d:
+        if re.match(_TMP_DIR_RE, d):
             if now - os.path.getmtime(full) > max_uncommitted_age_sec:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
             else:
                 kept.append(d)
             continue
-        m = re.match(r"^(.*)_[0-9a-f]{12}$", d)
-        stage = m.group(1) if m else d
+        m = re.match(_KEY_DIR_RE, d)
+        if not m:
+            continue  # foreign tree: never ours to delete
         committed = None
         manifest = os.path.join(full, "_manifest.json")
         if os.path.exists(manifest):
             try:
                 with open(manifest) as f:
-                    committed = json.load(f).get("committed_at")
+                    meta = json.load(f)
+                committed = meta.get("last_used_at", meta.get("committed_at"))
             except (OSError, ValueError):
                 committed = None
-        groups.setdefault(stage, []).append((committed, d, full))
+        groups.setdefault(m.group(1), []).append((committed, d, full))
     for entries in groups.values():
         committed_e = sorted(
             (e for e in entries if e[0] is not None), key=lambda e: e[0], reverse=True
@@ -188,4 +227,6 @@ def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame
             with open(manifest + f".tmp-{os.getpid()}", "w") as f:
                 json.dump(meta, f)
             os.rename(manifest + f".tmp-{os.getpid()}", manifest)
+    else:
+        touch_manifest(manifest)  # reuse: GC ranks live keys above stale ones
     return spark.read.parquet(path)

@@ -111,7 +111,8 @@ def register_geo_views(
 
 
 def load_all(spark: SparkSession, sf_dir: str, materialize: bool = True) -> dict[str, DataFrame]:
-    _drop_stale_stage_views(spark, sf_dir)
+    # stage views are dropped inside register_geo_views (unconditional:
+    # base inputs are being re-registered)
     tables = register_tables(spark, sf_dir)
     tables.update(register_geo_views(spark, sf_dir, materialize=materialize))
     return tables
@@ -157,15 +158,6 @@ def _drop_stage_views(spark: SparkSession) -> None:
         spark.catalog.dropTempView(name)
     setattr(spark, _STAGE_NAMES_ATTR, set())
     setattr(spark, _STAGE_SF_ATTR, None)
-
-
-def _drop_stale_stage_views(spark: SparkSession, sf_dir: str) -> None:
-    """Stage views committed for a DIFFERENT scale-factor dir must not
-    survive a re-load: a consumer would silently read gold tables derived
-    from other inputs."""
-    if getattr(spark, _STAGE_SF_ATTR, None) in (None, sf_dir):
-        return
-    _drop_stage_views(spark)
 
 
 def oracle_cte(name: str) -> str:

@@ -131,9 +131,10 @@ class TestCogroupZeroStoreParity:
         from geospatial_store_siting_spark.operators import grouped
         from geospatial_store_siting_spark.testing import frames_match
 
+        # the FULL sites relation, candidate rows included — the operator
+        # applies the same site_type filter the oracle skeleton does
         stores_df = spark.createDataFrame(
-            [(m, s) for m, t, s in self.SITES if t == "store"],
-            "metro string, annual_sales double",
+            self.SITES, "metro string, site_type string, annual_sales double"
         )
         comps_df = spark.createDataFrame(
             self.COMPS, "metro string, competitor_id bigint"
@@ -207,8 +208,18 @@ class TestSnapshotPrune:
         os.utime(crashed, (1, 1))
         inflight = tmp_path / "sfX_stg_bbbbbbbbbbbb.tmp-123"
         inflight.mkdir()
+        # FOREIGN trees at the root (pipeline stages/ subtree, bench
+        # corpora): no content-key suffix — prune must never touch them,
+        # however old
+        foreign_stages = tmp_path / "stages"
+        foreign_stages.mkdir()
+        foreign_corpus = tmp_path / "dedup_scale_docs_x64"
+        foreign_corpus.mkdir()
+        os.utime(foreign_stages, (1, 1))
+        os.utime(foreign_corpus, (1, 1))
 
         res = snapshots.prune(root=root)
+        assert foreign_stages.exists() and foreign_corpus.exists()
         assert os.path.basename(os.path.dirname(manifest("SELECT 1 AS x"))) in res[
             "removed"
         ]
@@ -226,6 +237,36 @@ class TestSnapshotPrune:
         assert os.path.getmtime(manifest("SELECT 2 AS x")) == t_before
         redo = snapshots.snapshot_table(spark, "stg", "SELECT 1 AS x", "sfX", root=root)
         assert redo.first()["x"] == 1
+
+    def test_plan_revert_keeps_the_key_still_being_read(self, spark, tmp_path):
+        """Plan-revert scenario: key A committed long ago but still READ
+        (its manifest carries a fresh last_used_at), key B committed later
+        then abandoned.  prune must keep A — the live snapshot — and
+        remove B.  Without the use stamp, keep-latest-committed would do
+        the inverse."""
+        root = str(tmp_path)
+        snapshots.snapshot_table(spark, "stg", "SELECT 1 AS x", "sfX", root=root)
+        snapshots.snapshot_table(spark, "stg", "SELECT 2 AS x", "sfX", root=root)
+
+        def manifest(sql):
+            return os.path.join(root, snapshots._key("sfX", "stg", sql), "_manifest.json")
+
+        def backdate(sql, by):
+            with open(manifest(sql)) as f:
+                meta = json.load(f)
+            meta["committed_at"] -= by
+            with open(manifest(sql), "w") as f:
+                json.dump(meta, f)
+
+        backdate("SELECT 1 AS x", 7200)  # old enough that a read re-stamps
+        backdate("SELECT 2 AS x", 60)  # newer than A's commit, but abandoned
+        # the revert: A is read again -> its manifest gets last_used_at=now
+        snapshots.snapshot_table(spark, "stg", "SELECT 1 AS x", "sfX", root=root)
+        res = snapshots.prune(root=root)
+        a_dir = os.path.basename(os.path.dirname(manifest("SELECT 1 AS x")))
+        b_dir = os.path.basename(os.path.dirname(manifest("SELECT 2 AS x")))
+        assert a_dir in res["kept"] and b_dir in res["removed"]
+        assert os.path.exists(manifest("SELECT 1 AS x"))
 
 
 class TestSaabasContributions:
