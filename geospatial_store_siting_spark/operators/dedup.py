@@ -118,6 +118,42 @@ def _content_key(content_sql: str, code=()) -> str:
     return content_sql + "|code:" + hashlib.md5(src.encode()).hexdigest()
 
 
+# Broadcast gate for corpus-sized join sides.  Below this many documents
+# the banded bucket tables and signature tables are genuinely small and
+# Catalyst's broadcast pick is the fast plan; above it every pair join is
+# hinted SHUFFLE_HASH so no corpus-derived table is ever collected to the
+# driver and re-shipped whole to every executor.  Measured rationale
+# (BENCH/profile_dedup.py): localCheckpoint/stage stats under-estimate at
+# harness scale and Catalyst planned the 10M-row band table AND both
+# signature sides of the refine join as broadcasts — a driver-serial
+# build+ship that did not scale at all from local[4] to local[16]
+# (pairs stage 6.4 s -> 6.7 s) and dragged N->4N efficiency to 0.544.
+# At 10^12 docs the same plan is a driver OOM, not just a straggler.
+DEDUP_BROADCAST_DOC_LIMIT = 100_000
+
+
+def _corpus_small(
+    spark: SparkSession, table: str = "documents", limit: int | None = None
+) -> bool:
+    """Manifest-stats gate (shared protocol with features._dim_small):
+    decides from the registered table's manifest row count when
+    available, falling back to ONE cached count per session — never a
+    per-query count job."""
+    from .features import _dim_small
+
+    if limit is None:
+        limit = DEDUP_BROADCAST_DOC_LIMIT  # read at call time (testable)
+    return _dim_small(spark.table(table), limit, table_hint=table)
+
+
+def _scale_hint(df: DataFrame, small: bool) -> DataFrame:
+    """Above the gate: pin the scale-safe shuffled hash join (hash on the
+    join key, per-partition build — no driver collect, no full-table
+    ship).  The hint survives aliasing, so one call covers both sides of
+    a self-join."""
+    return df if small else df.hint("shuffle_hash")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -164,11 +200,20 @@ def ngram_jaccard_pairs(
         sf_dir,
         code=(shingles,),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size"))
+    small = _corpus_small(spark)
+    sizes = _scale_hint(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size")), small
+    )
     postings = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP),
+        _scale_hint(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= DF_CAP),
+            small,
+        ),
         "shingle",
     )
+    postings = _scale_hint(postings, small)
     a = postings.select(F.col("doc_id").alias("a"), "shingle")
     b = postings.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
@@ -326,8 +371,12 @@ def minhash_lsh_pairs(
             for bidx in range(LSH_BANDS)
         ]
     )
-    buckets = packed.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    small = _corpus_small(spark)
+    buckets = _scale_hint(
+        packed.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        ),
+        small,
     )
     cand = (
         buckets.alias("x")
@@ -336,8 +385,12 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sa = packed.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
-    sb = packed.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    sa = _scale_hint(
+        packed.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), small
+    )
+    sb = _scale_hint(
+        packed.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), small
+    )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -521,8 +574,12 @@ def simhash_pairs(
             for b in range(SIMHASH_BANDS)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.segment").alias("segment")
+    small = _corpus_small(spark)
+    buckets = _scale_hint(
+        sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.segment").alias("segment")
+        ),
+        small,
     )
     cand = (
         buckets.alias("x")
@@ -531,8 +588,12 @@ def simhash_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    sa = _scale_hint(
+        sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a")), small
+    )
+    sb = _scale_hint(
+        sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b")), small
+    )
     return (
         cand.join(sa, "a")
         .join(sb, "b")
@@ -612,7 +673,9 @@ def embedding_near_dup(
             .filter(F.col("a") < F.col("b"))
         )
     else:
-        buckets = _emb_band_buckets(spark)
+        buckets = _scale_hint(
+            _emb_band_buckets(spark), _corpus_small(spark, table="embeddings")
+        )
         cand = (
             buckets.alias("x")
             .join(buckets.alias("y"), ["band", "bucket"])
@@ -620,8 +683,13 @@ def embedding_near_dup(
             .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
             .distinct()
         )
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    small = _corpus_small(spark, table="embeddings")
+    ea = _scale_hint(
+        emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea")), small
+    )
+    eb = _scale_hint(
+        emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), small
+    )
     pairs = cand.join(ea, "a").join(eb, "b")
     cos = _dot_cols("ea", "eb") / (_norm_col("ea") * _norm_col("eb"))
     return (
@@ -719,7 +787,8 @@ def near_dup_components(
         code=(shingles, ngram_jaccard_pairs, simhash, simhash_pairs),
     )
     return connected_components(
-        spark, edges, max_iter=max_iter, sf_dir=sf_dir, content_key=edges_key
+        spark, edges, max_iter=max_iter, sf_dir=sf_dir, content_key=edges_key,
+        assume_small=_corpus_small(spark),
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -729,6 +798,7 @@ def connected_components(
     max_iter: int = CC_MAX_ITER,
     sf_dir: str | None = None,
     content_key: str | None = None,
+    assume_small: bool = True,
 ) -> DataFrame:
     """(node, label=min id in component) over an undirected edge list
     (a, b).  Hash-min propagation WITH pointer-doubling: each round every
@@ -751,7 +821,16 @@ def connected_components(
 
     Convergence test: each round's frame carries the previous label as
     ``__old``, so "did anything change" is one filter+count over the
-    just-materialized table — no extra labels⋈new join per round."""
+    just-materialized table — no extra labels⋈new join per round.
+
+    ``assume_small=False`` (callers gate it on corpus size, see
+    ``_corpus_small``) pins every per-round join to SHUFFLE_HASH: the
+    label and symmetric-edge tables are node/edge-scale, and a stats
+    misestimate that broadcast them would serialize every round on a
+    driver-side hash-table build (or OOM outright at graph scale).
+    Hints are applied at each USE site because the materialization
+    boundary (stage read / localCheckpoint) starts a fresh plan that
+    drops any hint set before it."""
 
     def mat(df: DataFrame, stage: str) -> DataFrame:
         if sf_dir and content_key is not None:
@@ -774,12 +853,15 @@ def connected_components(
         "cc_labels_r0",
     )
     for i in range(max_iter):
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "__n"), F.col("b") == F.col("__n"))
+        lab_h = _scale_hint(labels, assume_small)
+        nbr = _scale_hint(
+            _scale_hint(sym, assume_small)
+            .join(lab_h.withColumnRenamed("node", "__n"), F.col("b") == F.col("__n"))
             .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("label").alias("nbr_min")),
+            assume_small,
         )
-        step = labels.join(nbr, labels.node == nbr.a, "left").select(
+        step = lab_h.join(nbr, F.col("node") == nbr.a, "left").select(
             "node",
             F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
@@ -787,7 +869,10 @@ def connected_components(
             ),
         )
         # pointer doubling: label <- label's label
-        parent = step.select(F.col("node").alias("__pn"), F.col("label").alias("__pl"))
+        parent = _scale_hint(
+            step.select(F.col("node").alias("__pn"), F.col("label").alias("__pl")),
+            assume_small,
+        )
         new = mat(
             step.join(parent, step.label == parent.__pn, "left").select(
                 "node",

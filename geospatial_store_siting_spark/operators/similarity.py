@@ -138,10 +138,19 @@ FROM embeddings"""
 
 def ann_topk(spark: SparkSession, k: int = 3) -> DataFrame:
     """ANN: candidates share an LSH bucket; exact cosine re-rank inside the
-    bucket (the scale path — bucket-local joins instead of |Q|·|C|)."""
+    bucket (the scale path — bucket-local joins instead of |Q|·|C|).
+
+    Above the corpus-size gate every corpus-derived join side is pinned
+    SHUFFLE_HASH (same rationale as operators/dedup._scale_hint: a stats
+    misestimate that broadcast the bucketed corpus would serialize the
+    plan on a driver hash-table build — or OOM it — at embedding-corpus
+    scale)."""
+    from .dedup import _corpus_small, _scale_hint
+
+    small = _corpus_small(spark, table="embeddings")
     b = lsh_buckets(spark)
-    emb = spark.table("embeddings").select("vec_id", "embedding")
-    withb = b.join(emb, "vec_id")
+    emb = _scale_hint(spark.table("embeddings").select("vec_id", "embedding"), small)
+    withb = _scale_hint(b.join(emb, "vec_id"), small)
     qs = withb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("bucket"), F.col("embedding").alias("q_emb")
     )
@@ -272,8 +281,11 @@ def ivf_topk(spark: SparkSession, k: int = 3) -> DataFrame:
     inside the probed lists.  The candidate join is an equi-join on the
     list id (shuffle on a 16-ary key at this K; production K ~ √N keeps
     lists balanced and the join key high-cardinality)."""
+    from .dedup import _corpus_small, _scale_hint
+
+    small = _corpus_small(spark, table="embeddings")
     assign = _ivf_assignments(spark)
-    emb = spark.table("embeddings").select("vec_id", "embedding")
+    emb = _scale_hint(spark.table("embeddings").select("vec_id", "embedding"), small)
     lists = assign.filter(F.col("crank") == 1).select("vec_id", "cid")
     probes = assign.filter(
         (F.col("crank") <= IVF_NPROBE) & (F.col("vec_id") % QUERY_MOD == 0)
@@ -282,8 +294,11 @@ def ivf_topk(spark: SparkSession, k: int = 3) -> DataFrame:
         emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
         "query_id",
     )
-    cs = lists.join(emb, "vec_id").select(
-        F.col("vec_id").alias("corpus_id"), "cid", F.col("embedding").alias("c_emb")
+    cs = _scale_hint(
+        lists.join(emb, "vec_id").select(
+            F.col("vec_id").alias("corpus_id"), "cid", F.col("embedding").alias("c_emb")
+        ),
+        small,
     )
     pairs = qs.join(cs, "cid").filter(F.col("query_id") != F.col("corpus_id"))
     cos = _dot_cols("q_emb", "c_emb") / (_norm_col("q_emb") * _norm_col("c_emb"))

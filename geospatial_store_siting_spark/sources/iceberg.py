@@ -133,15 +133,83 @@ def stage_path(
 
 
 def read_stage_version(
-    spark: SparkSession, name: str, version: int, namespace: str = "stages"
+    spark: SparkSession,
+    name: str,
+    version: int,
+    namespace: str = "stages",
+    sf_dir: str | None = None,
+    root: str | None = None,
 ) -> DataFrame:
-    """Time travel (Iceberg only): read an earlier committed snapshot of a
-    stage table — the audit/replay path for pipeline debugging."""
-    if not iceberg_available(spark):
-        raise NotImplementedError(
-            "time travel requires a real Iceberg catalog; the parquet "
-            "fallback keeps only the latest committed snapshot"
+    """Time travel: read an earlier committed snapshot of a stage table —
+    the audit/replay path for pipeline debugging.
+
+    Iceberg path: ``VERSION AS OF`` with a real snapshot id.  Parquet
+    fallback (requires ``sf_dir``): ``version`` is an ordinal index into
+    the stage's commit history (0 = oldest; negative Python indexing, so
+    -1 = latest; -2 = the snapshot before the last plan/code change) —
+    every content-keyed commit is a retained version
+    (sources/snapshots.stage_versions), and retention is
+    ``snapshots.prune(keep_latest_per_stage=N)``, the fallback's
+    ``expire_snapshots``.  The two version vocabularies differ (snapshot
+    id vs ordinal) — callers doing cross-environment replay should
+    resolve versions via ``stage_history`` first."""
+    if iceberg_available(spark):
+        return spark.read.option("versionAsOf", version).table(
+            f"{CATALOG}.{namespace}.{name}"
         )
-    return spark.read.option("versionAsOf", version).table(
-        f"{CATALOG}.{namespace}.{name}"
+    if sf_dir is None:
+        raise NotImplementedError(
+            "parquet-fallback time travel needs sf_dir to locate the "
+            "stage's commit history"
+        )
+    from . import snapshots
+
+    versions = snapshots.stage_versions(
+        name, sf_dir, root=root or snapshots.DEFAULT_ROOT
     )
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots for stage {name!r}")
+    try:
+        entry = versions[version]
+    except IndexError:
+        raise IndexError(
+            f"stage {name!r} has {len(versions)} committed version(s); "
+            f"requested {version}"
+        ) from None
+    return spark.read.parquet(entry["path"])
+
+
+def stage_history(
+    spark: SparkSession,
+    name: str,
+    namespace: str = "stages",
+    sf_dir: str | None = None,
+    root: str | None = None,
+) -> list[dict]:
+    """The stage's committed-snapshot log, oldest first.  Iceberg:
+    queried from the table's ``.snapshots`` metadata table (snapshot_id
+    becomes the ``version`` to pass to read_stage_version).  Fallback:
+    the content-keyed commit history (ordinal index = version)."""
+    if iceberg_available(spark):
+        rows = (
+            spark.sql(
+                f"SELECT snapshot_id, committed_at FROM "
+                f"{CATALOG}.{namespace}.{name}.snapshots ORDER BY committed_at"
+            ).collect()
+        )
+        return [
+            {"version": r["snapshot_id"], "committed_at": r["committed_at"]}
+            for r in rows
+        ]
+    if sf_dir is None:
+        raise NotImplementedError("fallback stage history needs sf_dir")
+    from . import snapshots
+
+    versions = snapshots.stage_versions(
+        name, sf_dir, root=root or snapshots.DEFAULT_ROOT
+    )
+    return [
+        {"version": i, "committed_at": e["committed_at"], "rows": e["rows"],
+         "path": e["path"]}
+        for i, e in enumerate(versions)
+    ]

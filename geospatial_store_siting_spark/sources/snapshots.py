@@ -201,6 +201,47 @@ def prune(
     return {"removed": removed, "kept": kept}
 
 
+def stage_versions(name: str, sf_dir: str, root: str = DEFAULT_ROOT) -> list[dict]:
+    """Commit history of a stage under the parquet fallback, oldest first.
+
+    Each distinct content key a stage was committed under is one
+    retained snapshot (the fallback twin of Iceberg's snapshot log: a
+    re-commit under a NEW key — changed defining SQL or producing code —
+    is a new table version; a re-read of an existing key is not).
+    Retention is ``prune(keep_latest_per_stage=N)`` — the
+    ``expire_snapshots`` knob: keep N history entries per stage, GC the
+    rest.  Returns [{"dir", "path", "committed_at", "rows"}, ...] sorted
+    by commit time (dir name tie-break for same-tick commits)."""
+    import re
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    pat = re.compile(re.escape(f"{sf_tag}_{name}_") + r"[0-9a-f]{12}$")
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for d in sorted(os.listdir(root)):
+        if not pat.fullmatch(d):
+            continue
+        manifest = os.path.join(root, d, "_manifest.json")
+        if not os.path.exists(manifest):
+            continue  # uncommitted writer / crashed commit: not a version
+        try:
+            with open(manifest) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        out.append(
+            {
+                "dir": d,
+                "path": os.path.join(root, d),
+                "committed_at": meta.get("committed_at", 0.0),
+                "rows": meta.get("rows"),
+            }
+        )
+    out.sort(key=lambda e: (e["committed_at"], e["dir"]))
+    return out
+
+
 def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """The write→rename→manifest commit protocol for an arbitrary
     DataFrame (the generic form of snapshot_table's SQL path; the Iceberg

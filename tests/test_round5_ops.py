@@ -350,3 +350,131 @@ def test_minhash_width_is_production_shape():
     p_mid = 1 - (1 - 0.5**r) ** dedup.LSH_BANDS
     assert p_low < 0.03
     assert p_mid > 0.5
+
+
+class TestDedupBroadcastGate:
+    """Above the corpus-size gate, NO dedup pair plan may broadcast a
+    corpus-derived side: localCheckpoint/stage stats under-estimate and
+    Catalyst otherwise plans the banded bucket self-join AND both
+    signature refine sides as driver-built broadcasts — the non-scaling
+    serial fraction measured in BENCH/profile_dedup.py (pairs stage
+    6.4 s -> 6.7 s from local[4] to local[16]), and a driver OOM at
+    corpus scale."""
+
+    def _physical(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_minhash_pairs_no_broadcast_above_gate(self, geo, monkeypatch):
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = self._physical(dedup.minhash_lsh_pairs(geo))
+        assert "BroadcastExchange" not in plan
+        assert "ShuffledHashJoin" in plan
+
+    def test_simhash_pairs_no_broadcast_above_gate(self, geo, monkeypatch):
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = self._physical(dedup.simhash_pairs(geo))
+        assert "BroadcastExchange" not in plan
+        assert "ShuffledHashJoin" in plan
+
+    def test_jaccard_pairs_no_broadcast_above_gate(self, geo, monkeypatch):
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = self._physical(dedup.ngram_jaccard_pairs(geo))
+        assert "BroadcastExchange" not in plan
+
+    def test_embedding_near_dup_no_broadcast_above_gate(self, geo, monkeypatch):
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = self._physical(dedup.embedding_near_dup(geo))
+        assert "BroadcastExchange" not in plan
+
+    def test_cc_rounds_no_broadcast_above_gate(self, spark, monkeypatch):
+        """assume_small=False must pin every per-round CC join to shuffled
+        hash — checked on the first round's plan via a tiny edge list."""
+        captured: list[str] = []
+        # patch the CONCRETE runtime class (pyspark.sql.classic), not the
+        # pyspark.sql.DataFrame facade whose method the subclass overrides
+        cls = type(spark.range(1))
+        orig = cls.localCheckpoint
+
+        def spy(df, eager=True):
+            captured.append(df._jdf.queryExecution().executedPlan().toString())
+            return orig(df, eager)
+
+        monkeypatch.setattr(cls, "localCheckpoint", spy)
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+        dedup.connected_components(spark, edges, assume_small=False)
+        round_plans = [p for p in captured if "__old" in p]
+        assert round_plans, "no per-round label plan captured"
+        for p in round_plans:
+            assert "BroadcastExchange" not in p
+
+    def test_ann_topk_no_broadcast_above_gate(self, geo, monkeypatch):
+        from geospatial_store_siting_spark.operators import similarity
+
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = self._physical(similarity.ann_topk(geo))
+        assert "BroadcastExchange" not in plan
+
+    def test_ivf_topk_no_broadcast_above_gate(self, geo, monkeypatch):
+        from geospatial_store_siting_spark.operators import similarity
+
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = self._physical(similarity.ivf_topk(geo))
+        assert "BroadcastExchange" not in plan
+
+    def test_small_corpus_keeps_catalyst_choice(self, geo):
+        """Below the gate (sf0.001: 500 docs) the plan is unhinted — the
+        broadcast form Catalyst picks is the right one at dim scale."""
+        plan = self._physical(dedup.minhash_lsh_pairs(geo))
+        assert "BroadcastExchange" in plan
+
+
+class TestParquetFallbackTimeTravel:
+    """Every content-keyed commit of a stage is a retained snapshot: the
+    parquet fallback now supports ordinal time travel, with
+    prune(keep_latest_per_stage=N) as the expire_snapshots retention
+    knob (closes the 'fallback keeps only the latest snapshot' gap)."""
+
+    def test_history_read_and_retention(self, spark, tmp_path, monkeypatch):
+        from geospatial_store_siting_spark.sources import iceberg
+
+        monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_path))
+        sf_dir = "tt-test"
+        v0 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+        v1 = spark.createDataFrame([(2, "b"), (3, "c")], "id bigint, v string")
+        iceberg.write_stage(spark, v0, "demo_stage", sf_dir, content_key="k-one")
+        iceberg.write_stage(spark, v1, "demo_stage", sf_dir, content_key="k-two")
+
+        hist = iceberg.stage_history(spark, "demo_stage", sf_dir=sf_dir)
+        assert [h["version"] for h in hist] == [0, 1]
+        assert hist[0]["rows"] == 1 and hist[1]["rows"] == 2
+        assert hist[0]["committed_at"] <= hist[1]["committed_at"]
+
+        old = iceberg.read_stage_version(spark, "demo_stage", 0, sf_dir=sf_dir)
+        new = iceberg.read_stage_version(spark, "demo_stage", -1, sf_dir=sf_dir)
+        assert old.count() == 1 and new.count() == 2
+        assert {r["v"] for r in new.collect()} == {"b", "c"}
+
+        # re-reading an existing key is NOT a new version
+        iceberg.write_stage(spark, v1, "demo_stage", sf_dir, content_key="k-two")
+        assert len(iceberg.stage_history(spark, "demo_stage", sf_dir=sf_dir)) == 2
+
+        with pytest.raises(IndexError):
+            iceberg.read_stage_version(spark, "demo_stage", 5, sf_dir=sf_dir)
+
+        # retention: keep 2 -> both survive; keep 1 -> oldest expires
+        snapshots.prune(root=str(tmp_path), keep_latest_per_stage=2)
+        assert len(iceberg.stage_history(spark, "demo_stage", sf_dir=sf_dir)) == 2
+        snapshots.prune(root=str(tmp_path), keep_latest_per_stage=1)
+        hist = iceberg.stage_history(spark, "demo_stage", sf_dir=sf_dir)
+        assert len(hist) == 1 and hist[0]["rows"] == 2
+        latest = iceberg.read_stage_version(spark, "demo_stage", -1, sf_dir=sf_dir)
+        assert latest.count() == 2
+
+    def test_unknown_stage_and_missing_sf_dir(self, spark, tmp_path, monkeypatch):
+        from geospatial_store_siting_spark.sources import iceberg
+
+        monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_path))
+        with pytest.raises(FileNotFoundError):
+            iceberg.read_stage_version(spark, "ghost", 0, sf_dir="tt-test")
+        with pytest.raises(NotImplementedError):
+            iceberg.read_stage_version(spark, "ghost", 0)
