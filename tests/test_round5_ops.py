@@ -478,3 +478,79 @@ class TestParquetFallbackTimeTravel:
             iceberg.read_stage_version(spark, "ghost", 0, sf_dir="tt-test")
         with pytest.raises(NotImplementedError):
             iceberg.read_stage_version(spark, "ghost", 0)
+
+
+class TestSamplingOperators:
+    """Deterministic corpus sampling: map-only plans, WindowGroupLimit on
+    the per-group cut, and partition-layout independence (the property
+    DataFrame.sample lacks)."""
+
+    def test_hash_sample_is_map_only(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        plan = sampling.hash_sample(geo)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # filter rides the scan: no shuffle
+
+    def test_group_sample_gets_window_group_limit(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        plan = sampling.group_sample(geo)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan  # hot stratum never full-sorts
+
+    def test_partition_layout_independence(self, geo):
+        """The same documents are sampled regardless of how the input is
+        partitioned — re-register documents repartitioned 7 ways and
+        compare doc_id sets."""
+        from geospatial_store_siting_spark.operators import sampling
+
+        base = set(
+            r["doc_id"] for r in sampling.hash_sample(geo).select("doc_id").collect()
+        )
+        docs = geo.table("documents")
+        try:
+            docs.repartition(7).createOrReplaceTempView("documents")
+            again = set(
+                r["doc_id"]
+                for r in sampling.hash_sample(geo).select("doc_id").collect()
+            )
+        finally:
+            docs.createOrReplaceTempView("documents")
+        assert again == base and base  # non-empty, identical membership
+
+    def test_seed_draws_independent_sample(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        a = set(r["doc_id"] for r in sampling.hash_sample(geo).select("doc_id").collect())
+        b = set(
+            r["doc_id"]
+            for r in sampling.hash_sample(geo, seed="other-seed").select("doc_id").collect()
+        )
+        assert a != b
+
+    def test_training_mix_respects_quota_and_caps(self, geo):
+        """Each stratum lands near target_rows*w (binomial noise) and an
+        under-supplied stratum is kept whole (keep_fraction == 1)."""
+        from geospatial_store_siting_spark.operators import sampling
+
+        out = sampling.training_mix(geo).toPandas()
+        n_lang = (
+            geo.table("documents").groupBy("lang").count().toPandas()
+            .set_index("lang")["count"]
+        )
+        for lang, w in sampling.MIX_WEIGHTS.items():
+            got = (out["lang"] == lang).sum()
+            quota = sampling.MIX_TARGET_ROWS * w
+            if n_lang.get(lang, 0) <= quota:
+                assert got == n_lang.get(lang, 0)  # kept whole
+            else:
+                assert abs(got - quota) < 4 * (quota ** 0.5) + 5
+
+    def test_splits_partition_the_corpus(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        out = sampling.corpus_splits(geo).toPandas()
+        total = geo.table("documents").count()
+        assert out["n_docs"].sum() == total
+        by_split = out.groupby("split")["n_docs"].sum()
+        assert set(by_split.index) == {"train", "val", "test"}
+        assert by_split["train"] > by_split["val"]
