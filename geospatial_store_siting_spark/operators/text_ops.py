@@ -115,21 +115,32 @@ SELECT doc_id, lang,
 FROM (SELECT doc_id, lang, {score_sel} FROM documents) __scores"""
 
 
-def quality_score(spark: SparkSession) -> DataFrame:
-    """Composite quality score (length + lexical-diversity proxies) with a
-    keep/drop verdict — the filter stage of a training-data pipeline."""
-    docs = spark.table("documents")
+def quality_score_col():
+    """The composite quality score as a pure column expression over
+    (text, n_chars) — shared by the batch operator and the streaming
+    ingest twin (streaming/stream_jobs.corpus_ingest_stream), so the two
+    gates can never drift."""
     n_tokens = F.expr(token_count_sql("text"))
     uniq_ratio_proxy = F.expr(_count_occurrences_sql("text", "the"))
-    score = (
+    return (
         F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
         + F.when(F.col("n_chars") >= 100, 0.3).otherwise(0.0)
         + F.when(uniq_ratio_proxy <= 5, 0.2).otherwise(0.0)
     )
+
+
+QUALITY_KEEP_THRESHOLD = 0.6
+
+
+def quality_score(spark: SparkSession) -> DataFrame:
+    """Composite quality score (length + lexical-diversity proxies) with a
+    keep/drop verdict — the filter stage of a training-data pipeline."""
+    docs = spark.table("documents")
+    score = quality_score_col()
     return docs.select(
         "doc_id",
         dround(score, 4).alias("quality"),
-        (score >= 0.6).alias("keep"),
+        (score >= QUALITY_KEEP_THRESHOLD).alias("keep"),
     )
 
 
@@ -148,13 +159,18 @@ SELECT doc_id,
 FROM documents"""
 
 
+def fingerprint_col():
+    """The normalized md5 fingerprint as a pure column expression over
+    ``text`` (shared with the streaming ingest twin)."""
+    # lower() BEFORE stripping: the strip class is [^a-z0-9 ], so stripping
+    # first would delete uppercase letters instead of folding them.
+    return F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+
+
 def fingerprint(spark: SparkSession) -> DataFrame:
     """Normalized md5 document fingerprint (exact-dedup key)."""
     docs = spark.table("documents")
-    # lower() BEFORE stripping: the strip class is [^a-z0-9 ], so stripping
-    # first would delete uppercase letters instead of folding them.
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+    return docs.select("doc_id", fingerprint_col().alias("fp"))
 
 
 def fingerprint_oracle_sql() -> str:
@@ -291,6 +307,27 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 URL_RE = "https?://[^ ]+"
 
 
+def scrub_pii_cols() -> dict:
+    """The scrub expressions over ``text`` as named pure columns (shared
+    with the streaming ingest twin).
+
+    Python-API regexp_extract_all throughout: F.expr with the pattern
+    inside a single-quoted SQL literal would unescape \\. to a bare .
+    (regex wildcard), silently loosening the count vs the masking regex."""
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return {
+        "n_emails": F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0))
+        ).cast("long"),
+        "n_urls": F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_RE), F.lit(0))
+        ).cast("long"),
+        "scrubbed_md5": F.md5(masked),
+    }
+
+
 def scrub_pii(spark: SparkSession) -> DataFrame:
     """PII-scrub pass: mask emails and URLs, report per-doc match counts
     and an md5 of the scrubbed text (the cross-engine equality witness —
@@ -298,21 +335,9 @@ def scrub_pii(spark: SparkSession) -> DataFrame:
     narrow).  Map-only projection fused into the scan; the masked corpus
     a real pipeline writes back is this same expression as a column."""
     docs = spark.table("documents")
-    masked = F.regexp_replace(
-        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-    )
+    cols = scrub_pii_cols()
     return docs.select(
-        "doc_id",
-        # Python-API regexp_extract_all: F.expr with the pattern inside a
-        # single-quoted SQL literal would unescape \. to a bare . (regex
-        # wildcard), silently loosening the count vs the masking regex.
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_urls"),
-        F.md5(masked).alias("scrubbed_md5"),
+        "doc_id", *[cols[k].alias(k) for k in ("n_emails", "n_urls", "scrubbed_md5")]
     )
 
 

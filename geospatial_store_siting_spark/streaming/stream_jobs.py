@@ -321,3 +321,46 @@ def doc_cells_stream(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_spans"),
         )
     )
+
+
+def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the training-corpus front end
+    (operators/dedup.training_corpus stages 1, 2, 4): quality gate →
+    exact dedup on the normalized fingerprint → PII scrub — the shape of
+    a continuous corpus-ingest service feeding a training lake.
+
+    Streamability per stage: the quality gate and the scrub are pure
+    column maps (fused into the source scan); exact dedup is
+    ``dropDuplicates(["fp"])`` whose state is ONE row per distinct
+    fingerprint ever seen — the canonical streaming-dedup state shape
+    (RocksDB-backed state store at corpus scale; with an ingest-time
+    column, dropDuplicatesWithinWatermark bounds the state to the late
+    window instead).  The near-dup clustering stage is deliberately NOT
+    here: it is a global iterative fixpoint, which production runs as the
+    periodic batch compaction over the streamed-in corpus (the same
+    lambda split the other twins in this module document).
+
+    Semantics vs the batch twin: the batch pipeline keeps min(doc_id) per
+    fingerprint group; the stream keeps the FIRST ARRIVAL.  The kept
+    fingerprint SET is identical — that is the equivalence the test
+    asserts; canonical choice is representation, not content.
+
+    Column expressions are imported from operators/text_ops (the same
+    objects the batch operators select), so the two paths cannot drift."""
+    from ..operators.text_ops import (
+        QUALITY_KEEP_THRESHOLD,
+        fingerprint_col,
+        quality_score_col,
+        scrub_pii_cols,
+    )
+
+    kept = docs.filter(quality_score_col() >= QUALITY_KEEP_THRESHOLD)
+    deduped = kept.withColumn("fp", fingerprint_col()).dropDuplicates(["fp"])
+    cols = scrub_pii_cols()
+    return deduped.select(
+        "doc_id",
+        "fp",
+        "lang",
+        "n_chars",
+        *[cols[k].alias(k) for k in ("n_emails", "n_urls", "scrubbed_md5")],
+    )

@@ -180,3 +180,42 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
     ).toPandas().sort_values(["purchase_event_id", "view_event_id"]).reset_index(drop=True)
     assert len(out) == len(batch) and len(batch) > 0
     assert out.equals(batch[out.columns])
+
+
+def test_corpus_ingest_stream_equals_batch_front_end(geo):
+    """The streaming corpus-ingest twin (quality gate → fp dedup → scrub)
+    keeps exactly the batch front end's fingerprint set — one survivor
+    per fingerprint — and every survivor carries the batch scrub values
+    (canonical CHOICE may differ: batch keeps min doc_id, stream keeps
+    first arrival; content equivalence is what matters)."""
+    from geospatial_store_siting_spark.operators import text_ops
+
+    docs = stream_jobs.documents_stream(geo, SF_DIR)
+    cleaned = stream_jobs.corpus_ingest_stream(docs)
+    q = (
+        cleaned.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_ingest_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = geo.sql("SELECT * FROM corpus_ingest_out").toPandas()
+
+    quality_kept = text_ops.quality_score(geo).filter(F.col("keep")).select("doc_id")
+    batch_fps = set(
+        r["fp"]
+        for r in text_ops.fingerprint(geo)
+        .join(quality_kept, "doc_id", "left_semi")
+        .select("fp")
+        .distinct()
+        .collect()
+    )
+    assert set(out["fp"]) == batch_fps
+    assert len(out) == len(batch_fps)  # exactly one survivor per fingerprint
+
+    scrub = text_ops.scrub_pii(geo).toPandas().set_index("doc_id")
+    merged = out.set_index("doc_id").join(scrub, rsuffix="_b")
+    assert (merged["scrubbed_md5"] == merged["scrubbed_md5_b"]).all()
+    assert (merged["n_emails"] == merged["n_emails_b"]).all()
+    assert (merged["n_urls"] == merged["n_urls_b"]).all()
