@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- interleaved documents: geotagged-span extraction (input_hint) ---
         "geotagged_spans": _q(documents.geotagged_spans),
         "doc_cells": _q(documents.doc_cells),
+        "doc_tiles": _q(documents.doc_tiles),
         # --- text analysis ---
         "text_stats": _q(text_ops.text_stats),
         "lang_id": _q(text_ops.lang_id),
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "phase_summary": scoring.phase_summary_oracle_sql(),
         "geotagged_spans": documents.geotagged_spans_oracle_sql(),
         "doc_cells": documents.doc_cells_oracle_sql(),
+        "doc_tiles": documents.doc_tiles_oracle_sql(),
         "text_stats": text_ops.text_stats_oracle_sql(),
         "lang_id": text_ops.lang_id_oracle_sql(),
         "quality_score": text_ops.quality_score_oracle_sql(),

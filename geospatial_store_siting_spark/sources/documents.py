@@ -217,3 +217,100 @@ SELECT hex_id, {metro} AS metro,
        COUNT(*) AS n_spans
 FROM ({g}) __g
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Tile-sharded corpus write (the north-rule salted-repartition stage)
+# ---------------------------------------------------------------------------
+
+UNTILED = "untiled"
+TILE_SALTS = 8
+
+
+def corpus_tile_assignments(spark: SparkSession) -> DataFrame:
+    """One tile per document: the res-8 cell of its FIRST geo span in
+    offset order (deterministic — offsets are unique within a doc);
+    documents with no geo span land in the ``untiled`` shard.  Join key
+    cast to string to match the input_hint doc_id type."""
+    first = (
+        geotagged_spans(spark)
+        .groupBy("doc_id")
+        # "t" prefix: cell ids are all-digit strings, and a partition
+        # directory mix of numeric values and the 'untiled' sentinel
+        # breaks Spark's partition-column type inference on read-back
+        # (LongType inferred, NumberFormatException on the sentinel) —
+        # prefixing pins the shard key to a string, like Hive date dirs
+        .agg(
+            F.concat(F.lit("t"), F.min_by("hex_id", "span_offset")).alias("tile")
+        )
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "tile")
+    )
+    return (
+        interleaved_documents(spark)
+        .join(first, "doc_id", "left")
+        .withColumn("tile", F.coalesce(F.col("tile"), F.lit(UNTILED)))
+    )
+
+
+def doc_tiles(spark: SparkSession) -> DataFrame:
+    """Query surface for the tile assignment: (doc_id, tile) per document
+    — the value-checkable core of the tile-sharded write."""
+    return corpus_tile_assignments(spark).select("doc_id", "tile")
+
+
+def doc_tiles_oracle_sql() -> str:
+    g = geotagged_spans_oracle_sql()
+    return f"""
+WITH g AS ({g}),
+first AS (
+  SELECT doc_id, 't' || CAST(arg_min(hex_id, span_offset) AS STRING) AS tile
+  FROM g GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS STRING) AS doc_id,
+       COALESCE(f.tile, '{UNTILED}') AS tile
+FROM documents d LEFT JOIN first f ON d.doc_id = f.doc_id"""
+
+
+def write_corpus_tiles(
+    spark: SparkSession,
+    path: str,
+    n_salts: int = TILE_SALTS,
+    n_tasks: int | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Write the interleaved corpus sharded by tile, with SALTED
+    repartitioning — the north-rule stage: "attaching hex_id and tile
+    assignments, with salted repartitioning to break urban-core hex
+    skew".
+
+    Without the salt, ``repartition("tile")`` lands the urban-core
+    tile's ENTIRE row set on one task: one straggler writes one giant
+    file while the rest of the cluster idles — the exact skew the rule
+    names.  Hashing on (tile, salt) with salt = pmod(xxhash64(doc_id),
+    n_salts) spreads a hot tile over up to ``n_salts`` writer tasks, so
+    its partition directory holds that many balanced files; cold tiles
+    still coalesce into few files.  The on-disk layout stays
+    ``tile=<cell>/`` (partition pruning: a reader of one metro's tiles
+    scans only those directories), and the span sequence of every
+    document survives byte-for-byte (asserted via span_signature in
+    tests — the input_hint's per-row invariant).
+
+    ``assigned`` overrides the tile assignment (any frame carrying a
+    ``tile`` column and the doc payload — custom tiling schemes, crafted
+    skew tests); default is ``corpus_tile_assignments``.  ``n_tasks``
+    pins the shuffle width: without it AQE may coalesce a small shuffle
+    below the salt count (harmless at real volume, where partitions
+    exceed the coalesce target and the salts spread on their own).
+
+    Returns a reader of the written corpus."""
+    if assigned is None:
+        assigned = corpus_tile_assignments(spark)
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    parts = [F.col("tile"), salt]
+    salted = (
+        assigned.repartition(n_tasks, *parts)
+        if n_tasks
+        else assigned.repartition(*parts)
+    )
+    salted.write.mode("overwrite").partitionBy("tile").parquet(path)
+    return spark.read.parquet(path)

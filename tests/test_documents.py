@@ -72,3 +72,64 @@ def test_geotagged_spans_cells_valid(geo):
     # numpy codec agrees with the SQL-path encoding
     np_cells = hexgrid.latlng_to_cell(pdf["lat"].values, pdf["lon"].values, 8)
     assert (np_cells == pdf["hex_id"].values).all()
+
+
+class TestCorpusTileWrite:
+    """The north-rule write stage: tile-sharded interleaved corpus with
+    salted repartitioning."""
+
+    def test_span_invariant_and_pruning_through_write(self, geo, tmp_path):
+        out = str(tmp_path / "corpus_tiles")
+        written = documents.write_corpus_tiles(geo, out)
+
+        # span-sequence equality per doc_id through the write (input_hint
+        # invariant): signatures before == after
+        orig = documents.interleaved_documents(geo)
+        before = {r["doc_id"]: r["span_sig"]
+                  for r in documents.span_signature(orig).collect()}
+        after = {r["doc_id"]: r["span_sig"]
+                 for r in documents.span_signature(written).collect()}
+        assert after == before and before
+
+        # every doc's tile is its FIRST geo span's res-8 cell ("t" prefix
+        # pins the shard key to a string for partition-type inference)
+        first = {
+            str(r["doc_id"]): "t" + str(r["tile"])
+            for r in documents.geotagged_spans(geo)
+            .groupBy("doc_id")
+            .agg(F.min_by("hex_id", "span_offset").alias("tile"))
+            .collect()
+        }
+        for r in written.select("doc_id", "tile").collect():
+            assert r["tile"] == first.get(r["doc_id"], documents.UNTILED)
+
+        # partition pruning: a single-tile read plans only that directory
+        some_tile = written.filter(F.col("tile") != documents.UNTILED).first()["tile"]
+        one = geo.read.parquet(out).filter(F.col("tile") == some_tile)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(tile" in plan
+
+    def test_hot_tile_splits_across_salted_writers(self, geo, tmp_path):
+        """Crafted urban-core skew via the assignment override: 240 of
+        246 docs share one tile; the hot tile's directory must hold
+        multiple salted files, not one straggler task's single file."""
+        import os
+
+        rows = [(str(i), "hot-tile-cell") for i in range(240)] + [
+            (str(1000 + i), f"cold-{i}") for i in range(6)
+        ]
+        assigned = geo.createDataFrame(rows, "doc_id string, tile string")
+        out = str(tmp_path / "skewed_tiles")
+        # explicit n_tasks: AQE would otherwise coalesce this tiny crafted
+        # shuffle to one task (at real volume partitions exceed the
+        # coalesce target and the salts spread without it)
+        written = documents.write_corpus_tiles(
+            geo, out, n_salts=8, n_tasks=16, assigned=assigned
+        )
+        tiles = written.groupBy("tile").count().collect()
+        hot_tile = max(tiles, key=lambda r: r["count"])
+        assert hot_tile["count"] == 240
+        hot_dir = os.path.join(out, f"tile={hot_tile['tile']}")
+        files = [f for f in os.listdir(hot_dir) if f.endswith(".parquet")]
+        assert len(files) > 1, "hot tile written by a single straggler task"
+        assert len(files) <= 8
