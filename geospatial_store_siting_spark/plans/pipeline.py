@@ -55,6 +55,12 @@ class Stage:
         self.inputs = inputs
 
 
+def _doc_tiles_stage(spark: SparkSession) -> DataFrame:
+    from ..sources.documents import doc_tiles
+
+    return doc_tiles(spark)
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     """Execute the DAG with checkpoint/resume; returns the run report."""
     from ..operators import dev_signals, features, huff, scoring
@@ -68,6 +74,11 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
             ["zips", "zillow_home_values", "zillow_rental_index",
              "zcta_county_rel", "building_permits_county"],
         ),
+        # tile assignment for the interleaved corpus: committed as gold so
+        # the tile-sharded corpus write (sources/documents.write_corpus_tiles)
+        # and tile-local readers reuse it instead of re-deriving the
+        # geotagged-span extraction
+        Stage("doc_tiles", _doc_tiles_stage, ["documents"]),
         Stage("location_features", features.location_features, ["sites", "hex_grid", "competitors", "poi"]),
         Stage("huff_features", huff.huff_features, ["sites", "hex_grid", "competitors"]),
         # consumes the COMMITTED feature snapshot (registered as a view by

@@ -231,7 +231,21 @@ def corpus_tile_assignments(spark: SparkSession) -> DataFrame:
     """One tile per document: the res-8 cell of its FIRST geo span in
     offset order (deterministic — offsets are unique within a doc);
     documents with no geo span land in the ``untiled`` shard.  Join key
-    cast to string to match the input_hint doc_id type."""
+    cast to string to match the input_hint doc_id type.
+
+    Read-from-gold: when a pipeline run has committed the ``doc_tiles``
+    stage in this session, the assignment joins the committed parquet
+    instead of re-deriving the geotagged-span extraction (same posture as
+    the app surface and dev_signal_ring)."""
+    from .tables import stage_view
+
+    gold = stage_view(spark, "doc_tiles")
+    if gold is not None:
+        return (
+            interleaved_documents(spark)
+            .join(gold.select("doc_id", "tile"), "doc_id", "left")
+            .withColumn("tile", F.coalesce(F.col("tile"), F.lit(UNTILED)))
+        )
     first = (
         geotagged_spans(spark)
         .groupBy("doc_id")

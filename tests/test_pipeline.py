@@ -20,6 +20,7 @@ def test_pipeline_runs_and_resumes(geo, tmp_path_factory):
         report1 = pl.run_pipeline(geo, SF_DIR)
         assert [s["stage"] for s in report1["stages"]] == [
             "dev_signals_by_h3",
+            "doc_tiles",
             "location_features",
             "huff_features",
             "scored_locations",
@@ -58,3 +59,31 @@ def test_kring_kernel_sizes(geo):
     ringed = sites.withColumn("ring", kernels.make_kring_udf(1)(F.col("h3_res8")))
     sizes = ringed.select(F.size("ring").alias("n")).distinct().collect()
     assert [r["n"] for r in sizes] == [7]
+
+
+def test_corpus_tiles_reuse_committed_stage(geo, tmp_path_factory):
+    """After a pipeline run commits doc_tiles, the tile-sharded corpus
+    writer joins the committed parquet (read-from-gold) instead of
+    re-deriving the geotagged-span extraction — and the written corpus is
+    identical either way."""
+    import geospatial_store_siting_spark.plans.pipeline as pl
+    from geospatial_store_siting_spark.sources import documents, tables
+
+    old_root = pl.STAGE_ROOT
+    pl.STAGE_ROOT = str(tmp_path_factory.mktemp("stages"))
+    tables.load_all(geo, SF_DIR)  # unpublish stage views from earlier tests
+    try:
+        fresh = documents.corpus_tile_assignments(geo)
+        assert "min_by" in fresh._jdf.queryExecution().optimizedPlan().toString()
+        before = {r["doc_id"]: r["tile"] for r in fresh.select("doc_id", "tile").collect()}
+
+        pl.run_pipeline(geo, SF_DIR)
+        assert tables.stage_view(geo, "doc_tiles") is not None
+        gold = documents.corpus_tile_assignments(geo)
+        plan = gold._jdf.queryExecution().optimizedPlan().toString()
+        assert "min_by" not in plan  # assignment read from the stage, not re-derived
+        after = {r["doc_id"]: r["tile"] for r in gold.select("doc_id", "tile").collect()}
+        assert after == before
+    finally:
+        pl.STAGE_ROOT = old_root
+        tables.load_all(geo, SF_DIR)  # unpublish stage views for later tests
