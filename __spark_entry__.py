@@ -168,12 +168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _q(text_ops.rolling_fingerprint),
         "token_repetition": _q(text_ops.token_repetition),
         "scrub_pii": _q(text_ops.scrub_pii),
+        "vocab_topk": _q(text_ops.vocab_topk),
         # --- deterministic corpus sampling (training-recipe ops) ---
         "sample_hash": _q(sampling.hash_sample),
         "sample_stratified": _q(sampling.stratified_sample),
         "sample_group_k": _q(sampling.group_sample),
         "training_mix": _q(sampling.training_mix),
         "corpus_splits": _q(sampling.corpus_splits),
+        "pack_sequences": _q(sampling.pack_sequences),
         # --- deduplication ---
         "dedup_exact": _q(dedup.exact_dedup),
         "dedup_keep_documents": _q(dedup.dedup_keep_documents),
@@ -338,11 +340,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": text_ops.rolling_fingerprint_oracle_sql(),
         "token_repetition": text_ops.token_repetition_oracle_sql(),
         "scrub_pii": text_ops.scrub_pii_oracle_sql(),
+        "vocab_topk": text_ops.vocab_topk_oracle_sql(),
         "sample_hash": sampling.hash_sample_oracle_sql(),
         "sample_stratified": sampling.stratified_sample_oracle_sql(),
         "sample_group_k": sampling.group_sample_oracle_sql(),
         "training_mix": sampling.training_mix_oracle_sql(),
         "corpus_splits": sampling.corpus_splits_oracle_sql(),
+        "pack_sequences": sampling.pack_sequences_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_oracle_sql(),
         "dedup_keep_documents": dedup.dedup_keep_documents_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),

@@ -279,3 +279,73 @@ SELECT CASE WHEN ({u}) < {lo!r} THEN 'train'
        lang, COUNT(*) AS n_docs
 FROM documents
 GROUP BY 1, 2"""
+
+
+SEQ_TOKEN_BUDGET = 256
+
+
+def pack_sequences(
+    spark: SparkSession,
+    budget: int = SEQ_TOKEN_BUDGET,
+    seed: str = DEFAULT_SEED,
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a training
+    sequence so consecutive documents fill ~``budget`` tokens — the
+    batching step before tokenized examples are written.
+
+    Deterministic contiguous packing: within each language shard,
+    documents are ordered by their uniform hash (reproducible shuffle)
+    and binned at seq = floor(tokens_before / budget) — one running-sum
+    window per shard, no sequential fold.  A document straddling a
+    boundary joins the bin its first token falls in, so a bin may
+    overrun by < max-doc-tokens (the standard relational approximation
+    of greedy packing; exact greedy is an order-dependent fold that
+    cannot map-reduce).  Scale shape: ONE window cumsum per shard key —
+    at corpus scale the shard key is (lang, hash-bucket) so no partition
+    exceeds a reducer; the window is rank-free (running sum only,
+    map-side partials apply)."""
+    from .text_ops import token_count_sql
+
+    docs = spark.table("documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(token_count_sql("text")).cast("bigint").alias("n_tokens"),
+        dround(_u_col(seed=seed), 9).alias("u"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    seq = F.floor(tokens_before / F.lit(float(budget))).cast("bigint")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.concat_ws("-", F.col("lang"), seq.cast("string")).alias("seq_id"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    budget: int = SEQ_TOKEN_BUDGET, seed: str = DEFAULT_SEED
+) -> str:
+    from .text_ops import token_count_sql
+
+    u = _u_sql(seed=seed)
+    tk = token_count_sql("text")
+    return f"""
+SELECT doc_id, lang, n_tokens,
+       lang || '-' || CAST(CAST(FLOOR(
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY u ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / CAST({budget} AS DOUBLE)) AS BIGINT) AS STRING) AS seq_id
+FROM (
+  SELECT doc_id, lang, CAST({tk} AS BIGINT) AS n_tokens,
+         (FLOOR(({u}) * 1000000000.0 + 0.5) / 1000000000.0) AS u
+  FROM documents
+) __base"""

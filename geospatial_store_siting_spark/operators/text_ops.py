@@ -349,3 +349,54 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                           '{URL_RE}', '<URL>', 'g')) AS scrubbed_md5
 FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (the canonical Zipf-skewed aggregation)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOKEN_CAP = 64  # bounded per-doc work, same posture as SIMHASH_TOKEN_CAP
+VOCAB_TOPK = 100
+
+
+def vocab_topk(spark: SparkSession, k: int = VOCAB_TOPK) -> DataFrame:
+    """Corpus vocabulary: the top-k tokens by total occurrences.
+
+    Token frequencies are Zipf-distributed — a handful of stopwords carry
+    a huge share of all occurrences, making this THE canonical hot-key
+    aggregation.  Counts therefore run through skew.salted_sum (partial
+    agg on (token, salt) spreads each hot token over N_SALTS reducers,
+    final agg merges) instead of a naive groupBy; the result is
+    identical, the plan has no single-reducer hot key.  The final top-k
+    is an ORDER BY + LIMIT over |vocab| rows (token, count) — takeOrdered
+    on partials, no full sort.  Ties broken by token text for a total
+    (cross-engine-stable) order."""
+    from .skew import salted_sum
+
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(split(text, ' '), 1, {VOCAB_TOKEN_CAP})")
+        ).alias("token"),
+    )
+    counts = salted_sum(
+        toks, "token", {"n_total": "*"}, salt_source=F.col("doc_id")
+    )
+    return counts.orderBy(F.desc("n_total"), F.asc("token")).limit(k)
+
+
+def vocab_topk_oracle_sql(k: int = VOCAB_TOPK) -> str:
+    idx = ", ".join(f"({i})" for i in range(1, VOCAB_TOKEN_CAP + 1))
+    tk = token_count_sql("d.text")
+    return f"""
+SELECT token, COUNT(*) AS n_total
+FROM (
+  SELECT split_part(d.text, ' ', o.i) AS token
+  FROM documents d
+  CROSS JOIN (SELECT * FROM (VALUES {idx}) AS __pos(i)) o
+  WHERE o.i <= {tk}
+) __tok
+GROUP BY token
+ORDER BY n_total DESC, token ASC
+LIMIT {k}"""

@@ -554,3 +554,66 @@ class TestSamplingOperators:
         by_split = out.groupby("split")["n_docs"].sum()
         assert set(by_split.index) == {"train", "val", "test"}
         assert by_split["train"] > by_split["val"]
+
+
+class TestPackAndVocab:
+    """Sequence packing and vocabulary top-k: value parity against a
+    from-scratch pandas recompute, plus the plan shapes the 100-TB
+    posture depends on (one window shuffle; salted two-phase agg)."""
+
+    def test_pack_sequences_matches_pandas_recompute(self, geo):
+        from geospatial_store_siting_spark.functions.exprs import dround
+        from geospatial_store_siting_spark.operators import sampling
+        from geospatial_store_siting_spark.operators.text_ops import token_count_sql
+
+        out = sampling.pack_sequences(geo).toPandas()
+        base = (
+            geo.table("documents")
+            .select(
+                "doc_id",
+                "lang",
+                F.expr(token_count_sql("text")).cast("bigint").alias("n_tokens"),
+                dround(sampling._u_col(seed=sampling.DEFAULT_SEED), 9).alias("u"),
+            )
+            .toPandas()
+            .sort_values(["lang", "u", "doc_id"], ignore_index=True)
+        )
+        before = base.groupby("lang")["n_tokens"].cumsum() - base["n_tokens"]
+        base["expected"] = base["lang"] + "-" + (
+            before // sampling.SEQ_TOKEN_BUDGET
+        ).astype(str)
+        merged = out.merge(base[["doc_id", "expected"]], on="doc_id")
+        assert len(merged) == len(base) and len(base) > 0
+        assert (merged["seq_id"] == merged["expected"]).all()
+
+    def test_pack_sequences_single_shuffle(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        plan = (
+            sampling.pack_sequences(geo)._jdf.queryExecution().executedPlan().toString()
+        )
+        # one hash-partition exchange for the per-lang window, nothing else
+        assert plan.count("Exchange") == 1
+
+    def test_vocab_topk_matches_naive_recount(self, geo):
+        from collections import Counter
+
+        from geospatial_store_siting_spark.operators import text_ops
+
+        out = text_ops.vocab_topk(geo).toPandas()
+        counts = Counter()
+        for (text,) in geo.table("documents").select("text").collect():
+            counts.update(text.split(" ")[: text_ops.VOCAB_TOKEN_CAP])
+        expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : text_ops.VOCAB_TOPK
+        ]
+        got = list(zip(out["token"], out["n_total"]))
+        assert got == expected
+
+    def test_vocab_topk_plan_is_salted_two_phase(self, geo):
+        from geospatial_store_siting_spark.operators import text_ops
+
+        df = text_ops.vocab_topk(geo)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "salt" in plan  # partial agg keyed (token, salt) before final
+        assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
