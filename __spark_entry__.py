@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _qsf(lambda s, d: dedup.simhash_pairs(s, sf_dir=d)),
         "dedup_components": _qsf(lambda s, d: dedup.near_dup_components(s, sf_dir=d)),
         "training_corpus": _qsf(lambda s, d: dedup.training_corpus(s, sf_dir=d)),
+        "decontaminate": _qsf(lambda s, d: dedup.decontaminate(s, sf_dir=d)),
+        "dedup_incremental": _qsf(lambda s, d: dedup.dedup_incremental(s, sf_dir=d)),
         # APPROXIMATE (banded-LSH candidates, recall ≈0.85 at cosine 0.35,
         # →1 as cosine →1); the complete-baseline is _exact below.
         "dedup_embedding_cosine": _q(dedup.embedding_near_dup),
@@ -355,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),
         "dedup_components": dedup.near_dup_components_oracle_sql(),
         "training_corpus": dedup.training_corpus_oracle_sql(),
+        "decontaminate": dedup.decontaminate_oracle_sql(),
+        "dedup_incremental": dedup.dedup_incremental_oracle_sql(),
         "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
         "ann_lsh_topk": similarity.ann_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),

@@ -327,6 +327,67 @@ FROM (
 GROUP BY doc_id"""
 
 
+def _packed_signatures(
+    spark: SparkSession, sf_dir: str | None = None, force_stage: bool = False
+) -> DataFrame:
+    """The minhash signature table in its committed PACKED layout —
+    (doc_id, sig array<bigint>) — shared by every LSH consumer
+    (pair-finding, incremental ingest dedup): ONE durable content-keyed
+    stage, so a warm pipeline run computes the shingle→hash→agg pass
+    exactly once regardless of how many operators read signatures.
+
+    The packed form commits two parquet column chunks instead of 64
+    scalar columns (warm reads prune to exactly them) and every
+    downstream plan carries a single array expression instead of 64
+    refs: at this width the column-per-component form cost seconds of
+    Catalyst analysis per query.  The oracle contract is unaffected
+    (minhash_signatures / its SQL twin keep the mh0..mh63 schema; no
+    oracle reads the stage itself)."""
+    packed_plan = minhash_signatures(spark).select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
+    )
+    return _stage_or_checkpoint(
+        spark, packed_plan, "minhash_sig_packed",
+        minhash_signatures_sql() + "|packed-v1", sf_dir,
+        code=(shingles, minhash_signatures), force=force_stage,
+    )
+
+
+def _band_buckets(packed: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from packed signatures: a single
+    generator explode rather than a UNION of per-band selects (which
+    would re-execute the signature plan per band)."""
+    per_band = MINHASH_SEEDS // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice("sig", bidx * per_band + 1, per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("bucket"),
+            )
+            for bidx in range(LSH_BANDS)
+        ]
+    )
+    return packed.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _sig_agree():
+    """Component-agreement count between two packed signatures sig_a/sig_b."""
+    return F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     threshold: float = 0.5,
@@ -344,46 +405,9 @@ def minhash_lsh_pairs(
     rather than pinned for the session).  The band table is a single
     generator explode rather than a UNION of per-band selects (which
     would re-execute the signature plan per band)."""
-    # The stage commits the PACKED layout — (doc_id, sig array<bigint>) —
-    # so every warm read prunes to two parquet column chunks instead of
-    # 64 scalar columns, and every downstream plan (band explode + both
-    # refine sides) carries a single array expression instead of 64
-    # refs: at this width the column-per-component form cost seconds of
-    # Catalyst analysis per query.  The oracle contract is unaffected
-    # (minhash_signatures / its SQL twin keep the mh0..mh63 schema; no
-    # oracle reads the stage itself).
-    packed_plan = minhash_signatures(spark).select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
-    )
-    packed = _stage_or_checkpoint(
-        spark, packed_plan, "minhash_sig_packed",
-        minhash_signatures_sql() + "|packed-v1", sf_dir,
-        code=(shingles, minhash_signatures), force=force_stage,
-    )
-    per_band = MINHASH_SEEDS // LSH_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice("sig", bidx * per_band + 1, per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("bucket"),
-            )
-            for bidx in range(LSH_BANDS)
-        ]
-    )
+    packed = _packed_signatures(spark, sf_dir, force_stage)
     small = _corpus_small(spark)
-    buckets = _scale_hint(
-        packed.select("doc_id", F.explode(band_structs).alias("bb")).select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        ),
-        small,
-    )
+    buckets = _scale_hint(_band_buckets(packed), small)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
@@ -397,15 +421,10 @@ def minhash_lsh_pairs(
     sb = _scale_hint(
         packed.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), small
     )
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
         cand.join(sa, "a")
         .join(sb, "b")
-        .withColumn("est_jaccard", dround(agree / F.lit(float(MINHASH_SEEDS)), 6))
+        .withColumn("est_jaccard", dround(_sig_agree() / F.lit(float(MINHASH_SEEDS)), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
@@ -991,3 +1010,257 @@ WHERE EXISTS (SELECT 1 FROM ({quality_score_oracle_sql()}) q
               WHERE e.canonical_doc = d.doc_id)
   AND NOT EXISTS (SELECT 1 FROM ({near_dup_components_oracle_sql()}) c
                   WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component)"""
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (benchmark-leak scrub before training)
+# ---------------------------------------------------------------------------
+
+def decontaminate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Training docs that leak eval content: every *train*-split document
+    sharing at least one RARE shingle with any *test*-split document,
+    with the count of distinct shared shingles — the n-gram-overlap
+    decontamination pass run before a corpus is handed to a trainer
+    (same split contract as sampling.corpus_splits, so the eval set here
+    IS the held-out set downstream).
+
+    Rarity gate: only shingles with corpus document-frequency ≤ DF_CAP
+    count as evidence — ubiquitous n-grams match everything and carry no
+    leak signal (the same posting-list cap ngram_jaccard_pairs uses, and
+    the reason real decontamination runs on long/rare n-grams).
+
+    Scale shape: the distinct-shingle table is the SAME durable stage
+    ngram_jaccard_pairs commits (content-keyed — a warm pipeline reuses
+    it); all joins key on ``shingle`` with DF_CAP-bounded postings, the
+    split is a pure map of doc_id — no skewed or quadratic stage."""
+    from .sampling import DEFAULT_SEED, SPLIT_BOUNDS, _u_col
+
+    lo, hi = SPLIT_BOUNDS
+    sh = _stage_or_checkpoint(
+        spark,
+        shingles(spark).distinct(),
+        "distinct_shingles",
+        f"SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s",
+        sf_dir,
+        code=(shingles,),
+    )
+    small = _corpus_small(spark)
+    rare = sh.join(
+        _scale_hint(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= DF_CAP),
+            small,
+        ),
+        "shingle",
+    ).select("doc_id", "shingle")
+    u = _u_col(seed=DEFAULT_SEED)
+    split_of = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.when(u < F.lit(lo), F.lit("train"))
+        .when(u < F.lit(hi), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    eval_shingles = (
+        rare.join(
+            split_of.filter(F.col("split") == "test").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    train_shingles = rare.join(
+        split_of.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    hits = (
+        train_shingles.join(_scale_hint(eval_shingles, small), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_shingles"))
+    )
+    return hits.join(split_of.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_eval_shingles"
+    )
+
+
+def decontaminate_oracle_sql() -> str:
+    from .sampling import DEFAULT_SEED, SPLIT_BOUNDS, _u_sql
+
+    lo, hi = SPLIT_BOUNDS
+    u = _u_sql(seed=DEFAULT_SEED)
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s),
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}) f
+    ON sh.shingle = f.shingle
+),
+split_of AS (
+  SELECT doc_id, lang,
+         CASE WHEN ({u}) < {lo!r} THEN 'train'
+              WHEN ({u}) < {hi!r} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+eval_sh AS (
+  SELECT DISTINCT r.shingle FROM rare r
+  JOIN split_of s ON r.doc_id = s.doc_id AND s.split = 'test'
+)
+SELECT r.doc_id, s.lang, COUNT(*) AS n_eval_shingles
+FROM rare r
+JOIN eval_sh e ON r.shingle = e.shingle
+JOIN split_of s ON r.doc_id = s.doc_id AND s.split = 'train'
+GROUP BY r.doc_id, s.lang"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (new batch vs the committed corpus)
+# ---------------------------------------------------------------------------
+
+INGEST_SEED = "gss-ingest-42"  # deterministic stand-in for an arrival batch
+INGEST_FRACTION = 0.2
+
+
+def dedup_incremental(
+    spark: SparkSession,
+    threshold: float = 0.5,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Classify an INCOMING batch of documents against the existing
+    corpus — the steady-state form of dedup once a corpus is live
+    (full-corpus pair-finding runs once; every later ingest only needs
+    batch × corpus):
+
+      * ``exact_dup`` — the batch doc's md5(text) already exists in the
+        corpus (match_doc = the smallest such corpus doc);
+      * ``near_dup``  — no exact twin, but LSH banding against the
+        corpus signatures finds a candidate with est_jaccard ≥
+        ``threshold`` (match_doc = smallest qualifying corpus doc);
+      * ``novel``     — neither (match_doc NULL): safe to append.
+
+    The batch is a deterministic hash split (INGEST_SEED) so the result
+    is value-checkable; swap the predicate for an arrival-time filter in
+    production.  Scale shape: the corpus side reads the SAME durable
+    packed-signature stage minhash_lsh_pairs commits (warm ingest never
+    recomputes corpus signatures); both probes are batch-sized — the
+    exact probe is a hash semi-join on fingerprint, the near probe
+    explodes ONLY batch+corpus band keys and joins batch × corpus (never
+    corpus × corpus); above the broadcast gate every join is pinned
+    shuffle-hash."""
+    from .sampling import _u_col
+
+    incoming = _u_col(seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
+    docs = spark.table("documents").select(
+        "doc_id", F.md5("text").alias("fp"), incoming.alias("incoming")
+    )
+    small = _corpus_small(spark)
+    batch_ids = docs.filter(F.col("incoming")).select("doc_id", "fp")
+    corpus_ids = docs.filter(~F.col("incoming")).select("doc_id", "fp")
+    # exact probe: smallest corpus doc per fingerprint
+    corpus_fp = _scale_hint(
+        corpus_ids.groupBy("fp").agg(F.min("doc_id").alias("exact_match")), small
+    )
+    exact = batch_ids.join(corpus_fp, "fp", "left").select("doc_id", "exact_match")
+    # near probe: batch band keys × corpus band keys over the shared stage
+    packed = _packed_signatures(spark, sf_dir)
+    buckets = _band_buckets(packed)
+    bmark = _scale_hint(docs.select("doc_id", "incoming"), small)
+    bx = buckets.join(bmark, "doc_id")
+    batch_buckets = bx.filter(F.col("incoming")).select("doc_id", "band", "bucket")
+    corpus_buckets = _scale_hint(
+        bx.filter(~F.col("incoming")).select(
+            F.col("doc_id").alias("cdoc"), "band", "bucket"
+        ),
+        small,
+    )
+    cand = (
+        batch_buckets.join(corpus_buckets, ["band", "bucket"])
+        .select("doc_id", "cdoc")
+        .distinct()
+    )
+    sa = _scale_hint(packed.select("doc_id", F.col("sig").alias("sig_a")), small)
+    sb = _scale_hint(
+        packed.select(F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")),
+        small,
+    )
+    est = dround(_sig_agree() / F.lit(float(MINHASH_SEEDS)), 6)
+    near = (
+        cand.join(sa, "doc_id")
+        .join(sb, "cdoc")
+        .withColumn("est", est)
+        .filter(F.col("est") >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("near_match"))
+    )
+    # the near table is batch-doc-level — still corpus-growth-sized, so it
+    # rides the same gate (a broadcast here is a driver collect of every
+    # near-dup verdict in the ingest)
+    out = exact.join(_scale_hint(near, small), "doc_id", "left")
+    status = (
+        F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    return out.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("exact_match", "near_match").cast("bigint").alias("match_doc"),
+    )
+
+
+def dedup_incremental_oracle_sql(threshold: float = 0.5) -> str:
+    from .sampling import _u_sql
+
+    u = _u_sql(seed=INGEST_SEED)
+    sig = minhash_signatures_sql()
+    per_band = MINHASH_SEEDS // LSH_BANDS
+    band_selects = []
+    for bidx in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(mh{bidx * per_band + j} AS STRING)" for j in range(per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, {cols} AS bucket FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_SEEDS)
+    )
+    est = f"(FLOOR((({agree}) / {float(MINHASH_SEEDS)}) * 1000000.0 + 0.5) / 1000000.0)"
+    return f"""
+WITH marked AS (
+  SELECT doc_id, MD5(text) AS fp, (({u}) < {INGEST_FRACTION!r}) AS incoming
+  FROM documents
+),
+sig AS ({sig}),
+buckets AS ({buckets}),
+exact AS (
+  SELECT b.doc_id, (SELECT MIN(c.doc_id) FROM marked c
+                    WHERE NOT c.incoming AND c.fp = b.fp) AS exact_match
+  FROM marked b WHERE b.incoming
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cdoc
+  FROM buckets x
+  JOIN marked mx ON x.doc_id = mx.doc_id AND mx.incoming
+  JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+  JOIN marked my ON y.doc_id = my.doc_id AND NOT my.incoming
+),
+near AS (
+  SELECT cand.doc_id, MIN(cand.cdoc) AS near_match
+  FROM cand
+  JOIN sig sa ON cand.doc_id = sa.doc_id
+  JOIN sig sb ON cand.cdoc = sb.doc_id
+  WHERE {est} >= {threshold}
+  GROUP BY cand.doc_id
+)
+SELECT e.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       CAST(COALESCE(e.exact_match, n.near_match) AS BIGINT) AS match_doc
+FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id"""

@@ -617,3 +617,112 @@ class TestPackAndVocab:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "salt" in plan  # partial agg keyed (token, salt) before final
         assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+
+
+class TestDecontaminateAndIncremental:
+    """Eval-leak decontamination + incremental ingest dedup: split
+    discipline, status partition invariants, and the no-broadcast gate."""
+
+    def test_decontaminate_only_train_docs(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        out = dedup.decontaminate(geo).toPandas()
+        assert len(out) > 0 and (out["n_eval_shingles"] >= 1).all()
+        splits = (
+            geo.table("documents")
+            .select(
+                "doc_id",
+                F.when(
+                    sampling._u_col(seed=sampling.DEFAULT_SEED)
+                    < F.lit(sampling.SPLIT_BOUNDS[0]),
+                    F.lit("train"),
+                )
+                .when(
+                    sampling._u_col(seed=sampling.DEFAULT_SEED)
+                    < F.lit(sampling.SPLIT_BOUNDS[1]),
+                    F.lit("val"),
+                )
+                .otherwise(F.lit("test"))
+                .alias("split"),
+            )
+            .toPandas()
+            .set_index("doc_id")["split"]
+        )
+        assert (splits.loc[out["doc_id"]] == "train").all()
+
+    def test_decontaminate_rarity_gate(self, geo):
+        """No flagged doc may owe its count to a shingle with df > DF_CAP:
+        recompute the rare-shingle overlap in pandas and compare counts."""
+        import pandas as pd
+
+        from geospatial_store_siting_spark.operators import sampling
+
+        out = dedup.decontaminate(geo).toPandas().set_index("doc_id")["n_eval_shingles"]
+        sh = dedup.shingles(geo).distinct().toPandas()
+        df_counts = sh.groupby("shingle")["doc_id"].nunique()
+        rare = sh[sh["shingle"].map(df_counts) <= dedup.DF_CAP]
+        u = (
+            geo.table("documents")
+            .select("doc_id", sampling._u_col(seed=sampling.DEFAULT_SEED).alias("u"))
+            .toPandas()
+            .set_index("doc_id")["u"]
+        )
+        lo, hi = sampling.SPLIT_BOUNDS
+        eval_sh = set(rare[rare["doc_id"].map(u) >= hi]["shingle"])
+        train = rare[rare["doc_id"].map(u) < lo]
+        expected = (
+            train[train["shingle"].isin(eval_sh)].groupby("doc_id").size()
+        )
+        pd.testing.assert_series_equal(
+            out.sort_index(), expected.sort_index(),
+            check_names=False, check_dtype=False,
+        )
+
+    def test_incremental_statuses_partition_the_batch(self, geo):
+        from geospatial_store_siting_spark.operators import sampling
+
+        out = dedup.dedup_incremental(geo).toPandas()
+        n_batch = (
+            geo.table("documents")
+            .filter(sampling._u_col(seed=dedup.INGEST_SEED) < F.lit(dedup.INGEST_FRACTION))
+            .count()
+        )
+        assert len(out) == n_batch and out["doc_id"].is_unique
+        assert set(out["status"]) <= {"exact_dup", "near_dup", "novel"}
+        assert out.loc[out["status"] == "novel", "match_doc"].isna().all()
+        assert out.loc[out["status"] != "novel", "match_doc"].notna().all()
+
+    def test_incremental_matches_are_corpus_side(self, geo):
+        """Every match_doc must come from the EXISTING corpus (not the
+        incoming batch) and exact matches must share the text md5."""
+        from geospatial_store_siting_spark.operators import sampling
+
+        out = dedup.dedup_incremental(geo).toPandas()
+        marked = (
+            geo.table("documents")
+            .select(
+                "doc_id",
+                F.md5("text").alias("fp"),
+                (sampling._u_col(seed=dedup.INGEST_SEED) < F.lit(dedup.INGEST_FRACTION)).alias(
+                    "incoming"
+                ),
+            )
+            .toPandas()
+            .set_index("doc_id")
+        )
+        matched = out[out["match_doc"].notna()]
+        assert len(matched) > 0
+        assert (~marked.loc[matched["match_doc"].astype("int64"), "incoming"]).all()
+        exact = out[out["status"] == "exact_dup"]
+        if len(exact):
+            assert (
+                marked.loc[exact["doc_id"], "fp"].values
+                == marked.loc[exact["match_doc"].astype("int64"), "fp"].values
+            ).all()
+
+    def test_incremental_no_broadcast_above_gate(self, geo, monkeypatch):
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = (
+            dedup.dedup_incremental(geo)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in plan
