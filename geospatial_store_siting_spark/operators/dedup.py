@@ -44,17 +44,20 @@ MINHASH_SEEDS = 64
 LSH_BANDS = 16  # 4 seeds per band
 
 
-def shingles(spark: SparkSession) -> DataFrame:
-    """Word 3-gram shingles, ≤MAX_SHINGLES per doc.
+def shingles(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    """Word 3-gram shingles, ≤MAX_SHINGLES per doc — over the registered
+    ``documents`` table, or any frame with (doc_id, text) (the streaming
+    ingest twin passes its micro-batch here).
 
     The text is split ONCE into a token array, then shingles are O(1)
     element_at lookups — split_part(text, ' ', i+j) per position would
     re-scan the full text 3×MAX_SHINGLES times per doc (O(len·shingles)),
     the dominant cost of the minhash plan at corpus scale.  The oracle
     keeps split_part (identical output; DuckDB run is small)."""
-    # repartition first: the raw scan may be one row-group (one task) and
-    # the explode pipeline below is the dominant map work
-    docs = spark.table("documents").repartition("doc_id")
+    if docs is None:
+        # repartition first: the raw scan may be one row-group (one task)
+        # and the explode pipeline below is the dominant map work
+        docs = spark.table("documents").repartition("doc_id")
     n_tokens = F.expr(token_count_sql("text"))
     pos = docs.select(
         "doc_id",
@@ -289,16 +292,19 @@ def _mh_sql(seed: int) -> str:
     return f"MIN(((h48 % {MINHASH_P}) * {a} + {b}) % {MINHASH_P})"
 
 
-def minhash_signatures(spark: SparkSession) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1}: min of a seeded
-    universal hash over one engine-side md5 per shingle.
+    universal hash over one engine-side md5 per shingle — over the
+    registered table, or any (doc_id, text) frame (streaming ingest).
 
     No ``.distinct()`` before the agg: MIN is idempotent over duplicate
     shingles, so deduplicating first only adds a full shuffle of the
     shingle table — the signature (and the oracle's DISTINCT form) is
     identical either way, and the plan is shingle-explode → hash →
     partial-agg → ONE shuffle on doc_id."""
-    sh = shingles(spark)
+    sh = shingles(spark, docs)
     hashed = sh.select(
         "doc_id", F.md5("shingle").alias("h")
     ).select("doc_id", F.expr(_h48_sql()).alias("h48"))
@@ -1158,39 +1164,78 @@ def dedup_incremental(
         "doc_id", F.md5("text").alias("fp"), incoming.alias("incoming")
     )
     small = _corpus_small(spark)
-    batch_ids = docs.filter(F.col("incoming")).select("doc_id", "fp")
-    corpus_ids = docs.filter(~F.col("incoming")).select("doc_id", "fp")
-    # exact probe: smallest corpus doc per fingerprint
-    corpus_fp = _scale_hint(
-        corpus_ids.groupBy("fp").agg(F.min("doc_id").alias("exact_match")), small
-    )
-    exact = batch_ids.join(corpus_fp, "fp", "left").select("doc_id", "exact_match")
-    # near probe: batch band keys × corpus band keys over the shared stage
     packed = _packed_signatures(spark, sf_dir)
-    buckets = _band_buckets(packed)
+    corpus_fp, corpus_buckets, corpus_sigs = _corpus_probe_side(docs, packed, small)
+    # the batch side reads the shared stage too (the split is over the
+    # registered table, so its signatures are already committed)
     bmark = _scale_hint(docs.select("doc_id", "incoming"), small)
-    bx = buckets.join(bmark, "doc_id")
-    batch_buckets = bx.filter(F.col("incoming")).select("doc_id", "band", "bucket")
+    batch_sigs = (
+        packed.join(bmark, "doc_id").filter(F.col("incoming")).select("doc_id", "sig")
+    )
+    return _classify_batch(
+        docs.filter(F.col("incoming")).select("doc_id", "fp"),
+        batch_sigs,
+        corpus_fp,
+        corpus_buckets,
+        corpus_sigs,
+        threshold,
+        small,
+    )
+
+
+def _corpus_probe_side(marked: DataFrame, packed: DataFrame, small: bool):
+    """The three corpus-side probe tables an ingest classifier needs —
+    built ONCE per service start, reused by every batch/micro-batch:
+    (fp → smallest owner), (cdoc, band, bucket), (cdoc, sig_b).  All read
+    the shared durable packed-signature stage; all ride the broadcast
+    gate."""
+    corpus_fp = _scale_hint(
+        marked.filter(~F.col("incoming"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match")),
+        small,
+    )
+    cmark = _scale_hint(marked.select("doc_id", "incoming"), small)
+    corpus_packed = (
+        packed.join(cmark, "doc_id").filter(~F.col("incoming")).select("doc_id", "sig")
+    )
     corpus_buckets = _scale_hint(
-        bx.filter(~F.col("incoming")).select(
+        _band_buckets(corpus_packed).select(
             F.col("doc_id").alias("cdoc"), "band", "bucket"
         ),
         small,
     )
+    corpus_sigs = _scale_hint(
+        corpus_packed.select(F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")),
+        small,
+    )
+    return corpus_fp, corpus_buckets, corpus_sigs
+
+
+def _classify_batch(
+    batch_fp: DataFrame,
+    batch_sigs: DataFrame,
+    corpus_fp: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float,
+    small: bool,
+) -> DataFrame:
+    """Classify (doc_id, fp) + (doc_id, sig) batch rows against the
+    corpus probe tables: the shared core of dedup_incremental and the
+    streaming ingest twin.  Joins are batch × corpus only — never
+    corpus × corpus."""
+    exact = batch_fp.join(corpus_fp, "fp", "left").select("doc_id", "exact_match")
     cand = (
-        batch_buckets.join(corpus_buckets, ["band", "bucket"])
+        _band_buckets(batch_sigs)
+        .join(corpus_buckets, ["band", "bucket"])
         .select("doc_id", "cdoc")
         .distinct()
     )
-    sa = _scale_hint(packed.select("doc_id", F.col("sig").alias("sig_a")), small)
-    sb = _scale_hint(
-        packed.select(F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")),
-        small,
-    )
     est = dround(_sig_agree() / F.lit(float(MINHASH_SEEDS)), 6)
     near = (
-        cand.join(sa, "doc_id")
-        .join(sb, "cdoc")
+        cand.join(batch_sigs.select("doc_id", F.col("sig").alias("sig_a")), "doc_id")
+        .join(corpus_sigs, "cdoc")
         .withColumn("est", est)
         .filter(F.col("est") >= threshold)
         .groupBy("doc_id")
@@ -1209,6 +1254,38 @@ def dedup_incremental(
         "doc_id",
         status.alias("status"),
         F.coalesce("exact_match", "near_match").cast("bigint").alias("match_doc"),
+    )
+
+
+def classify_arrivals(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    threshold: float = 0.5,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Classify an ARBITRARY (doc_id, text) frame — e.g. one streaming
+    micro-batch of newly arriving documents — against the committed
+    corpus.  Unlike dedup_incremental (whose batch is a split of the
+    registered table, signatures pre-committed), arrivals are outside
+    the corpus: their fingerprints and minhash signatures are computed
+    from text on the fly (map-side over the batch only); the corpus
+    side still reads the shared durable stage."""
+    from .sampling import _u_col
+
+    incoming = _u_col(seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
+    marked = spark.table("documents").select(
+        "doc_id", F.md5("text").alias("fp"), incoming.alias("incoming")
+    )
+    small = _corpus_small(spark)
+    packed = _packed_signatures(spark, sf_dir)
+    corpus_fp, corpus_buckets, corpus_sigs = _corpus_probe_side(marked, packed, small)
+    batch_fp = arrivals.select("doc_id", F.md5("text").alias("fp"))
+    batch_sigs = minhash_signatures(spark, arrivals).select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
+    )
+    return _classify_batch(
+        batch_fp, batch_sigs, corpus_fp, corpus_buckets, corpus_sigs, threshold, small
     )
 
 

@@ -364,3 +364,72 @@ def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
         "n_chars",
         *[cols[k].alias(k) for k in ("n_emails", "n_urls", "scrubbed_md5")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the incremental ingest dedup (foreachBatch service)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    sf_dir: str | None = None,
+    threshold: float = 0.5,
+):
+    """Streaming twin of operators/dedup.dedup_incremental: a foreachBatch
+    ingest-dedup service.  ``docs`` streams ONLY the arriving documents
+    (the same deterministic INGEST split the batch operator uses); every
+    micro-batch is classified exact_dup / near_dup / novel against the
+    COMMITTED corpus via dedup.classify_arrivals — fingerprints and
+    minhash signatures for the arrivals are computed map-side on the
+    micro-batch, while the corpus probe side reads the shared durable
+    packed-signature stage (warm: parquet read, never a corpus recompute).
+
+    foreachBatch rather than a streaming join: the LSH classifier is a
+    multi-join DAG (band join + signature refine + fingerprint probe)
+    over a FIXED corpus side — batch semantics per trigger, no streaming
+    state.  The batch-equivalence test asserts the union of micro-batch
+    outputs is row-identical to dedup_incremental's one-shot result.
+    Production would append `novel` rows (and their signatures) to the
+    corpus + signature stage per trigger, making the service
+    self-extending; kept out of the twin so it stays equal to the
+    value-checked batch operator.
+
+    Runs synchronously to completion (availableNow) and returns the
+    accumulated classifications as one DataFrame."""
+    import pandas as pd
+
+    from ..operators import dedup
+
+    collected: list[pd.DataFrame] = []
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        # the micro-batch frame belongs to the stream's CLONED session —
+        # plans built against it (parameterized spark.sql, table lookups)
+        # must use that session, not the outer one
+        s = batch_df.sparkSession
+        out = dedup.classify_arrivals(
+            s, batch_df.select("doc_id", "text"), threshold, sf_dir
+        )
+        # test-scale sink: collect per-trigger verdicts on the driver;
+        # production: .writeTo(lake_table).append() per trigger
+        collected.append(out.toPandas())
+
+    q = (
+        docs.writeStream.foreachBatch(classify)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    allv = pd.concat(collected, ignore_index=True)
+    rows = [
+        (
+            int(r.doc_id),
+            str(r.status),
+            None if pd.isna(r.match_doc) else int(r.match_doc),
+        )
+        for r in allv.itertuples()
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, status string, match_doc bigint"
+    )

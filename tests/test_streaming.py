@@ -219,3 +219,22 @@ def test_corpus_ingest_stream_equals_batch_front_end(geo):
     assert (merged["scrubbed_md5"] == merged["scrubbed_md5_b"]).all()
     assert (merged["n_emails"] == merged["n_emails_b"]).all()
     assert (merged["n_urls"] == merged["n_urls_b"]).all()
+
+
+def test_incremental_dedup_stream_equals_batch(geo):
+    """The foreachBatch ingest-dedup service, fed the SAME arrival split
+    the batch operator uses, must produce row-identical classifications:
+    micro-batched arrival (signatures recomputed from text per batch)
+    changes nothing about the verdicts."""
+    from geospatial_store_siting_spark.operators import dedup
+    from geospatial_store_siting_spark.operators.sampling import _u_col
+
+    incoming = _u_col(seed=dedup.INGEST_SEED) < F.lit(dedup.INGEST_FRACTION)
+    arrivals = stream_jobs.documents_stream(geo, SF_DIR).filter(incoming)
+    streamed = stream_jobs.incremental_dedup_stream(geo, arrivals).toPandas()
+    batch = dedup.dedup_incremental(geo).toPandas()
+
+    key = ["doc_id", "status", "match_doc"]
+    s = streamed[key].sort_values("doc_id", ignore_index=True)
+    b = batch[key].sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
