@@ -1,0 +1,127 @@
+"""Third N→4N scaling datapoint: incremental ingest dedup.
+
+The steady-state corpus workload is not full-corpus pair-finding (that
+runs once) but classify-new-batch-vs-corpus: exact fingerprint probe +
+LSH banding of the arrivals against the committed signature stage.
+This harness replicates documents ×REPL (same textually-distinct
+replica snapshot dedup_scale.py builds), commits the packed-signature
+stage UNTIMED (disclosed as cold_stage_sec), then times
+dedup.dedup_incremental — the warm, stage-reading service path — at
+local[4] vs local[16], interleaved best-of-2 per level.  Throughput is
+arrivals classified per second.  Writes its own BASELINE.md section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from geospatial_store_siting_spark.session import get_spark
+from geospatial_store_siting_spark.operators import dedup
+from geospatial_store_siting_spark.sources import tables
+
+cores = int(sys.argv[1]); repl = int(sys.argv[2]); sf_dir = sys.argv[3]
+spark = get_spark(app_name=f"ingest-scaling-{cores}", cores=cores,
+                  shuffle_partitions=32,
+                  extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"})
+tables.register_tables(spark, sf_dir)
+big_path = os.path.join("/root/repo/.snapshots", f"dedup_scale_docs_x{repl}")
+if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    # textually-distinct replicas: see dedup_scale.py for the rationale
+    (spark.table("documents").crossJoin(reps)
+        .withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
+        .withColumn(
+            "text",
+            F.expr("concat_ws(' ', transform(split(text, ' '), "
+                   "x -> concat(x, '_', rep)))"),
+        )
+        .drop("rep")
+        .repartition(32, "doc_id")
+        .write.mode("overwrite").parquet(big_path))
+spark.read.parquet(big_path).createOrReplaceTempView("documents")
+n_docs = spark.table("documents").count()
+from geospatial_store_siting_spark.operators.sampling import _u_col
+n_batch = spark.table("documents").filter(
+    _u_col(key="doc_id", seed=dedup.INGEST_SEED) < dedup.INGEST_FRACTION).count()
+
+# commit the packed-signature stage untimed (the service posture: built
+# once per corpus, every ingest reads it) — disclosed, not hidden
+t0 = time.perf_counter()
+dedup._packed_signatures(spark, sf_dir=big_path).write.mode(
+    "overwrite").format("noop").save()
+cold_stage = time.perf_counter() - t0
+
+def workload():
+    t0 = time.perf_counter()
+    df = dedup.dedup_incremental(spark, sf_dir=big_path)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+workload()  # warm: JIT + codegen
+dt = min(workload() for _ in range(2))
+print(json.dumps({"cores": cores, "sec": round(dt, 3), "docs": n_docs,
+                  "arrivals": n_batch,
+                  "arrivals_per_sec": round(n_batch / dt, 1),
+                  "cold_stage_sec": round(cold_stage, 3)}))
+spark.stop()
+""" % {"repo": REPO}
+
+
+def run(cores: int, repl: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), str(repl), sf_dir],
+        capture_output=True, text=True, timeout=1800, check=False,
+    )
+    # settle: let the dying JVM's teardown finish before the next timed run
+    import time as _t
+
+    _t.sleep(20)
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("DEDUP_SCALE_REPL", "128"))
+    runs4 = [run(4, repl, sf_dir)]
+    runs16 = [run(16, repl, sf_dir)]
+    runs4.append(run(4, repl, sf_dir))
+    runs16.append(run(16, repl, sf_dir))
+    rN = min(runs4, key=lambda r: r["sec"])
+    r4N = min(runs16, key=lambda r: r["sec"])
+    eff = (r4N["arrivals_per_sec"] / rN["arrivals_per_sec"]) / 4.0
+    result = {"localN": rN, "local4N": r4N, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+    from _md import replace_section
+
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "\n## Incremental ingest dedup scaling",
+        (
+            f"\n## Incremental ingest dedup scaling — arrivals vs docs ×{repl} corpus at {sf_dir}\n\n"
+            f"| metric | value | config |\n|---|---|---|\n"
+            f"| arrivals/sec @ local[4] (N) | {rN['arrivals_per_sec']} | {rN['arrivals']} arrivals vs {rN['docs']}-doc corpus in {rN['sec']} s |\n"
+            f"| arrivals/sec @ local[16] (4N) | {r4N['arrivals_per_sec']} | same input, same plan |\n"
+            f"| scaling efficiency N→4N | **{round(eff, 3)}** | best-of-2 interleaved |\n"
+            f"| signature-stage cold build (untimed service setup) | {r4N['cold_stage_sec']} s @ local[16] | committed once per corpus, every ingest reads it |\n\n"
+            f"The timed path is the steady-state ingest service: exact fingerprint\n"
+            f"probe + LSH banding of the arrival batch against the committed\n"
+            f"packed-signature stage (batch × corpus only — never corpus × corpus);\n"
+            f"all probe joins pinned shuffle-hash above the broadcast gate.\n"
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

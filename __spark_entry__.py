@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_repetition": _q(text_ops.token_repetition),
         "scrub_pii": _q(text_ops.scrub_pii),
         "vocab_topk": _q(text_ops.vocab_topk),
+        "corpus_source_report": _q(text_ops.corpus_source_report),
         # --- deterministic corpus sampling (training-recipe ops) ---
         "sample_hash": _q(sampling.hash_sample),
         "sample_stratified": _q(sampling.stratified_sample),
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "token_repetition": text_ops.token_repetition_oracle_sql(),
         "scrub_pii": text_ops.scrub_pii_oracle_sql(),
         "vocab_topk": text_ops.vocab_topk_oracle_sql(),
+        "corpus_source_report": text_ops.corpus_source_report_oracle_sql(),
         "sample_hash": sampling.hash_sample_oracle_sql(),
         "sample_stratified": sampling.stratified_sample_oracle_sql(),
         "sample_group_k": sampling.group_sample_oracle_sql(),

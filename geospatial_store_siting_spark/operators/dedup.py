@@ -363,25 +363,31 @@ def _packed_signatures(
 def _band_buckets(packed: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) rows from packed signatures: a single
     generator explode rather than a UNION of per-band selects (which
-    would re-execute the signature plan per band)."""
+    would re-execute the signature plan per band).
+
+    The bucket key is the band's signature SLICE itself (array<bigint>,
+    structural equality — identical join semantics to the oracle's
+    value-concat string, which DuckDB keeps): the earlier string form
+    built LSH_BANDS strings per document (concat over a casted
+    transform), an allocation storm that GC-bottlenecked the ingest
+    classifier at high parallelism — 10M+ short-lived strings per 640k-doc
+    corpus pass; four raw longs shuffle smaller and hash for free."""
     per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bidx).alias("band"),
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice("sig", bidx * per_band + 1, per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("bucket"),
+                F.slice("sig", bidx * per_band + 1, per_band).alias("bucket"),
             )
             for bidx in range(LSH_BANDS)
         ]
     )
-    return packed.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    carry = [c for c in packed.columns if c not in ("doc_id", "sig")]
+    return packed.select("doc_id", *carry, F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        *carry,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
 
@@ -1069,9 +1075,13 @@ def decontaminate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+    # split_of is corpus-sized (one row per document): every join side
+    # derived from it rides the broadcast gate like the shingle tables
     eval_shingles = (
         rare.join(
-            split_of.filter(F.col("split") == "test").select("doc_id"),
+            _scale_hint(
+                split_of.filter(F.col("split") == "test").select("doc_id"), small
+            ),
             "doc_id",
             "left_semi",
         )
@@ -1079,7 +1089,9 @@ def decontaminate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .distinct()
     )
     train_shingles = rare.join(
-        split_of.filter(F.col("split") == "train").select("doc_id"),
+        _scale_hint(
+            split_of.filter(F.col("split") == "train").select("doc_id"), small
+        ),
         "doc_id",
         "left_semi",
     )
@@ -1088,9 +1100,9 @@ def decontaminate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_eval_shingles"))
     )
-    return hits.join(split_of.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", "n_eval_shingles"
-    )
+    return hits.join(
+        _scale_hint(split_of.select("doc_id", "lang"), small), "doc_id"
+    ).select("doc_id", "lang", "n_eval_shingles")
 
 
 def decontaminate_oracle_sql() -> str:
@@ -1165,12 +1177,37 @@ def dedup_incremental(
     )
     small = _corpus_small(spark)
     packed = _packed_signatures(spark, sf_dir)
-    corpus_fp, corpus_buckets, corpus_sigs = _corpus_probe_side(docs, packed, small)
+    corpus_fp = _scale_hint(
+        docs.filter(~F.col("incoming"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match")),
+        small,
+    )
     # the batch side reads the shared stage too (the split is over the
-    # registered table, so its signatures are already committed)
-    bmark = _scale_hint(docs.select("doc_id", "incoming"), small)
-    batch_sigs = (
-        packed.join(bmark, "doc_id").filter(F.col("incoming")).select("doc_id", "sig")
+    # registered table, so its signatures are already committed).
+    # ``incoming`` is a PURE FUNCTION of doc_id: it is computed ONCE per
+    # document map-side on the stage scan, and the band explode CARRIES
+    # the precomputed boolean — no mark-table join (that shuffles the
+    # widest intermediate in the plan once more) and no per-band-row
+    # re-hashing (the 12-term md5 chain on 16× the rows was measured as
+    # the single most expensive stage of the ingest plan).
+    marked_sigs = packed.withColumn(
+        "incoming", _u_col(key="doc_id", seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
+    )
+    batch_sigs = marked_sigs.filter(F.col("incoming")).select("doc_id", "sig")
+    bx = _band_buckets(marked_sigs)
+    batch_buckets = bx.filter(F.col("incoming")).select("doc_id", "band", "bucket")
+    corpus_buckets = _scale_hint(
+        bx.filter(~F.col("incoming")).select(
+            F.col("doc_id").alias("cdoc"), "band", "bucket"
+        ),
+        small,
+    )
+    corpus_sigs = _scale_hint(
+        marked_sigs.filter(~F.col("incoming")).select(
+            F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")
+        ),
+        small,
     )
     return _classify_batch(
         docs.filter(F.col("incoming")).select("doc_id", "fp"),
@@ -1180,6 +1217,7 @@ def dedup_incremental(
         corpus_sigs,
         threshold,
         small,
+        batch_buckets=batch_buckets,
     )
 
 
@@ -1220,21 +1258,30 @@ def _classify_batch(
     corpus_sigs: DataFrame,
     threshold: float,
     small: bool,
+    batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Classify (doc_id, fp) + (doc_id, sig) batch rows against the
     corpus probe tables: the shared core of dedup_incremental and the
     streaming ingest twin.  Joins are batch × corpus only — never
-    corpus × corpus."""
+    corpus × corpus.  ``batch_buckets`` lets a caller that already
+    exploded band keys (dedup_incremental splits one explode over the
+    shared stage) pass them in instead of re-exploding."""
     exact = batch_fp.join(corpus_fp, "fp", "left").select("doc_id", "exact_match")
+    if batch_buckets is None:
+        batch_buckets = _band_buckets(batch_sigs)
     cand = (
-        _band_buckets(batch_sigs)
-        .join(corpus_buckets, ["band", "bucket"])
+        batch_buckets.join(corpus_buckets, ["band", "bucket"])
         .select("doc_id", "cdoc")
         .distinct()
     )
     est = dround(_sig_agree() / F.lit(float(MINHASH_SEEDS)), 6)
     near = (
-        cand.join(batch_sigs.select("doc_id", F.col("sig").alias("sig_a")), "doc_id")
+        cand.join(
+            _scale_hint(
+                batch_sigs.select("doc_id", F.col("sig").alias("sig_a")), small
+            ),
+            "doc_id",
+        )
         .join(corpus_sigs, "cdoc")
         .withColumn("est", est)
         .filter(F.col("est") >= threshold)
@@ -1250,10 +1297,13 @@ def _classify_batch(
         .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
         .otherwise(F.lit("novel"))
     )
+    # no cast: match_doc inherits doc_id's type (MIN preserves it), so the
+    # classifier works over any doc-id domain (the scale harness replicates
+    # docs under string ids)
     return out.select(
         "doc_id",
         status.alias("status"),
-        F.coalesce("exact_match", "near_match").cast("bigint").alias("match_doc"),
+        F.coalesce("exact_match", "near_match").alias("match_doc"),
     )
 
 

@@ -400,3 +400,81 @@ FROM (
 GROUP BY token
 ORDER BY n_total DESC, token ASC
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus health report (domain-level filter inputs)
+# ---------------------------------------------------------------------------
+
+def corpus_source_report(spark: SparkSession) -> DataFrame:
+    """Per-source corpus health: doc count, exact-dup rate, mean quality,
+    mean token length — the domain-level statistics a cleaning pipeline
+    aggregates before deciding per-source keep/downsample policies (the
+    web-crawl analogue is per-domain stats).
+
+    Determinism: double AVG is summation-order-dependent across engines,
+    so means are computed as integer sums (quality pre-scaled ×10⁴, the
+    same grid the quality score is rounded to) divided once — bit-stable
+    on Spark and DuckDB.  One hash aggregation on ``source``; the only
+    skew risk is a mega-source, which partial aggregation (map-side
+    combine) absorbs since every measure is an algebraic sum/count."""
+    docs = spark.table("documents")
+    n_tokens = F.expr(token_count_sql("text")).cast("bigint")
+    q_scaled = F.floor(quality_score_col() * F.lit(10000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = docs.select(
+        "source",
+        fingerprint_col().alias("fp"),
+        n_tokens.alias("n_tokens"),
+        q_scaled.alias("q"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("q").alias("q_sum"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        dround(
+            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs"),
+            6,
+        ).alias("dup_rate"),
+        dround(F.col("q_sum").cast("double") / (F.col("n_docs") * 10000), 6).alias(
+            "avg_quality"
+        ),
+        dround(F.col("tok_sum").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+def corpus_source_report_oracle_sql() -> str:
+    tk = token_count_sql("text")
+    the_count = _count_occurrences_sql("text", "the")
+    score = (
+        f"(LEAST(CAST({tk} AS DOUBLE) / 50.0, 1.0) * 0.5"
+        f" + CASE WHEN n_chars >= 100 THEN 0.3 ELSE 0.0 END"
+        f" + CASE WHEN {the_count} <= 5 THEN 0.2 ELSE 0.0 END)"
+    )
+    return f"""
+WITH base AS (
+  SELECT source,
+         MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+         CAST({tk} AS BIGINT) AS n_tokens,
+         CAST(FLOOR(({score}) * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM documents
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+         CAST(SUM(q) AS BIGINT) AS q_sum, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+  FROM base GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       (FLOOR((CAST(n_docs - n_unique AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0) AS dup_rate,
+       (FLOOR((CAST(q_sum AS DOUBLE) / (n_docs * 10000)) * 1000000.0 + 0.5) / 1000000.0) AS avg_quality,
+       (FLOOR((CAST(tok_sum AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0) AS avg_tokens
+FROM agg"""

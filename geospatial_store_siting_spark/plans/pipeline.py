@@ -61,6 +61,12 @@ def _doc_tiles_stage(spark: SparkSession) -> DataFrame:
     return doc_tiles(spark)
 
 
+def _training_corpus_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import training_corpus
+
+    return training_corpus(spark, sf_dir=sf_dir)
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     """Execute the DAG with checkpoint/resume; returns the run report."""
     from ..operators import dev_signals, features, huff, scoring
@@ -79,6 +85,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
         # and tile-local readers reuse it instead of re-deriving the
         # geotagged-span extraction
         Stage("doc_tiles", _doc_tiles_stage, ["documents"]),
+        # the cleaned-corpus gold table (quality gate → exact dedup →
+        # near-dup component drop → PII scrub).  Its own expensive
+        # intermediates (distinct shingles, packed minhash signatures,
+        # per-round CC labels) are committed content-keyed stages inside
+        # the operator (operators/dedup._stage_or_checkpoint), so a
+        # resumed or repeated run re-reads them instead of recomputing —
+        # the pipeline commits only the final doc-level result
+        Stage(
+            "training_corpus",
+            lambda sp: _training_corpus_stage(sp, sf_dir),
+            ["documents"],
+        ),
         Stage("location_features", features.location_features, ["sites", "hex_grid", "competitors", "poi"]),
         Stage("huff_features", huff.huff_features, ["sites", "hex_grid", "competitors"]),
         # consumes the COMMITTED feature snapshot (registered as a view by

@@ -21,6 +21,7 @@ def test_pipeline_runs_and_resumes(geo, tmp_path_factory):
         assert [s["stage"] for s in report1["stages"]] == [
             "dev_signals_by_h3",
             "doc_tiles",
+            "training_corpus",
             "location_features",
             "huff_features",
             "scored_locations",

@@ -726,3 +726,24 @@ class TestDecontaminateAndIncremental:
             dedup.dedup_incremental(geo)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastExchange" not in plan
+
+    def test_decontaminate_no_broadcast_above_gate(self, geo, monkeypatch):
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        plan = (
+            dedup.decontaminate(geo)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in plan
+
+    def test_source_report_single_agg_no_join(self, geo):
+        """The per-source report is ONE hash aggregation over a map-only
+        projection: no join, no window, no second shuffle beyond the
+        distinct-fp expand."""
+        from geospatial_store_siting_spark.operators import text_ops
+
+        plan = (
+            text_ops.corpus_source_report(geo)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Window" not in plan
