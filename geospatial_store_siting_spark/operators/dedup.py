@@ -361,33 +361,34 @@ def _packed_signatures(
 
 
 def _band_buckets(packed: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) rows from packed signatures: a single
-    generator explode rather than a UNION of per-band selects (which
-    would re-execute the signature plan per band).
+    """(doc_id, bkey) rows from packed signatures: a single generator
+    explode rather than a UNION of per-band selects (which would
+    re-execute the signature plan per band).
 
-    The bucket key is the band's signature SLICE itself (array<bigint>,
-    structural equality — identical join semantics to the oracle's
-    value-concat string, which DuckDB keeps): the earlier string form
-    built LSH_BANDS strings per document (concat over a casted
-    transform), an allocation storm that GC-bottlenecked the ingest
-    classifier at high parallelism — 10M+ short-lived strings per 640k-doc
-    corpus pass; four raw longs shuffle smaller and hash for free."""
+    The band key is ONE fixed-width long — ``xxhash64(band, slice)`` over
+    the band's signature slice.  Equal (band, slice) always hash equal,
+    so no true LSH candidate is ever lost vs the oracle's value-concat
+    string key; an UNEQUAL slice pair colliding on the 64-bit hash can
+    only ADD a candidate, and every candidate still passes the
+    full-signature agreement refine (est >= threshold), which a random
+    collision pair cannot (P[>=32 of 64 seeds agree] for unrelated docs
+    is ~0), so the value-checked output is identical.  Why hash instead
+    of the slice itself: the earlier concat-string key was an allocation
+    storm (10M+ short-lived strings per 640k-doc pass, GC-bottlenecking
+    high parallelism), the array<bigint> form shuffles 5x the bytes of a
+    single long and cannot be a bucketBy column — the hashed long key is
+    shuffle-minimal AND the bucketable join key the committed ingest
+    probe index (ingest_probe_index) is clustered on."""
     per_band = MINHASH_SEEDS // LSH_BANDS
-    band_structs = F.array(
+    band_keys = F.array(
         *[
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.slice("sig", bidx * per_band + 1, per_band).alias("bucket"),
-            )
+            F.xxhash64(F.lit(bidx), F.slice("sig", bidx * per_band + 1, per_band))
             for bidx in range(LSH_BANDS)
         ]
     )
     carry = [c for c in packed.columns if c not in ("doc_id", "sig")]
-    return packed.select("doc_id", *carry, F.explode(band_structs).alias("bb")).select(
-        "doc_id",
-        *carry,
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    return packed.select(
+        "doc_id", *carry, F.explode(band_keys).alias("bkey")
     )
 
 
@@ -422,7 +423,7 @@ def minhash_lsh_pairs(
     buckets = _scale_hint(_band_buckets(packed), small)
     cand = (
         buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
+        .join(buckets.alias("y"), ["bkey"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
@@ -1177,12 +1178,6 @@ def dedup_incremental(
     )
     small = _corpus_small(spark)
     packed = _packed_signatures(spark, sf_dir)
-    corpus_fp = _scale_hint(
-        docs.filter(~F.col("incoming"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("exact_match")),
-        small,
-    )
     # the batch side reads the shared stage too (the split is over the
     # registered table, so its signatures are already committed).
     # ``incoming`` is a PURE FUNCTION of doc_id: it is computed ONCE per
@@ -1195,20 +1190,28 @@ def dedup_incremental(
         "incoming", _u_col(key="doc_id", seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
     )
     batch_sigs = marked_sigs.filter(F.col("incoming")).select("doc_id", "sig")
-    bx = _band_buckets(marked_sigs)
-    batch_buckets = bx.filter(F.col("incoming")).select("doc_id", "band", "bucket")
-    corpus_buckets = _scale_hint(
-        bx.filter(~F.col("incoming")).select(
-            F.col("doc_id").alias("cdoc"), "band", "bucket"
-        ),
-        small,
-    )
-    corpus_sigs = _scale_hint(
-        marked_sigs.filter(~F.col("incoming")).select(
+    if sf_dir:
+        # the service plan: corpus probe sides are the COMMITTED bucketed
+        # index — per-ingest work is O(batch); only the batch side of
+        # each probe join shuffles
+        corpus_fp, corpus_buckets, corpus_sigs = ingest_probe_index(spark, sf_dir)
+        batch_buckets = _band_buckets(batch_sigs)
+    else:
+        # ad-hoc plan over unregistered inputs: derive both sides inline,
+        # splitting ONE band explode over the shared stage scan
+        corpus_fp = (
+            docs.filter(~F.col("incoming"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("exact_match"))
+        )
+        bx = _band_buckets(marked_sigs)
+        batch_buckets = bx.filter(F.col("incoming")).select("doc_id", "bkey")
+        corpus_buckets = bx.filter(~F.col("incoming")).select(
+            F.col("doc_id").alias("cdoc"), "bkey"
+        )
+        corpus_sigs = marked_sigs.filter(~F.col("incoming")).select(
             F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")
-        ),
-        small,
-    )
+        )
     return _classify_batch(
         docs.filter(F.col("incoming")).select("doc_id", "fp"),
         batch_sigs,
@@ -1221,31 +1224,93 @@ def dedup_incremental(
     )
 
 
+INGEST_INDEX_BUCKETS = 32  # production: size so one bucket ~ one executor core
+
+
+def ingest_probe_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three corpus-side probe tables of the ingest-dedup service,
+    committed as DURABLE BUCKETED stages — each clustered on its probe
+    join key, so classifying a batch of arrivals shuffles ONLY the batch
+    side (plan-asserted: the corpus scans are ``Bucketed: true`` with no
+    Exchange above them):
+
+      * ``ingest_fp_idx``   (fp, exact_match)   bucketed by fp
+      * ``ingest_band_idx`` (cdoc, bkey)        bucketed by bkey
+      * ``ingest_sig_idx``  (cdoc, sig_b)       bucketed by cdoc
+
+    Built once per corpus from the shared packed-signature stage plus one
+    fingerprint pass over the documents table; every later ingest (batch
+    operator, streaming foreachBatch twin) reads the committed index.
+    At 10^12 docs this is the difference between O(corpus) shuffle per
+    batch and O(batch): the corpus is scanned but never re-partitioned.
+    Content-keyed on the split semantics + signature definition + the
+    producing code, so changing any of them rebuilds the index.
+    Production note: appending `novel` arrivals extends the corpus; the
+    index is then maintained incrementally (append the batch's rows to
+    each table — bucket layout admits per-bucket appends) rather than
+    rebuilt."""
+    from ..sources import iceberg
+    from .sampling import _u_col
+
+    incoming = _u_col(key="doc_id", seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
+    corpus_docs = spark.table("documents").filter(~incoming)
+    packed = _packed_signatures(spark, sf_dir)
+    corpus_sigs_plan = packed.filter(~incoming).select(
+        F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")
+    )
+    corpus_buckets_plan = _band_buckets(packed.filter(~incoming)).select(
+        F.col("doc_id").alias("cdoc"), "bkey"
+    )
+    corpus_fp_plan = (
+        corpus_docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    key = _content_key(
+        f"ingest-index|{INGEST_SEED}|{INGEST_FRACTION}|"
+        f"{MINHASH_SEEDS}x{LSH_BANDS}|v1",
+        code=(shingles, minhash_signatures, _band_buckets, _u_col),
+    )
+    fp_idx = iceberg.write_stage_bucketed(
+        spark, corpus_fp_plan, "ingest_fp_idx", sf_dir, bucket_col="fp",
+        n_buckets=INGEST_INDEX_BUCKETS, sort_cols=["fp"],
+        content_key=key, force=force,
+    )
+    band_idx = iceberg.write_stage_bucketed(
+        spark, corpus_buckets_plan, "ingest_band_idx", sf_dir, bucket_col="bkey",
+        n_buckets=INGEST_INDEX_BUCKETS, sort_cols=["bkey"],
+        content_key=key, force=force,
+    )
+    sig_idx = iceberg.write_stage_bucketed(
+        spark, corpus_sigs_plan, "ingest_sig_idx", sf_dir, bucket_col="cdoc",
+        n_buckets=INGEST_INDEX_BUCKETS, sort_cols=["cdoc"],
+        content_key=key, force=force,
+    )
+    return fp_idx, band_idx, sig_idx
+
+
 def _corpus_probe_side(marked: DataFrame, packed: DataFrame, small: bool):
-    """The three corpus-side probe tables an ingest classifier needs —
-    built ONCE per service start, reused by every batch/micro-batch:
-    (fp → smallest owner), (cdoc, band, bucket), (cdoc, sig_b).  All read
-    the shared durable packed-signature stage; all ride the broadcast
-    gate."""
-    corpus_fp = _scale_hint(
+    """The three corpus-side probe tables an ingest classifier needs,
+    derived INLINE — the no-committed-index fallback of
+    ingest_probe_index for plans over unregistered inputs: (fp → smallest
+    owner), (cdoc, bkey), (cdoc, sig_b), all reading the shared packed
+    signature stage."""
+    corpus_fp = (
         marked.filter(~F.col("incoming"))
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("exact_match")),
-        small,
+        .agg(F.min("doc_id").alias("exact_match"))
     )
     cmark = _scale_hint(marked.select("doc_id", "incoming"), small)
     corpus_packed = (
         packed.join(cmark, "doc_id").filter(~F.col("incoming")).select("doc_id", "sig")
     )
-    corpus_buckets = _scale_hint(
-        _band_buckets(corpus_packed).select(
-            F.col("doc_id").alias("cdoc"), "band", "bucket"
-        ),
-        small,
+    corpus_buckets = _band_buckets(corpus_packed).select(
+        F.col("doc_id").alias("cdoc"), "bkey"
     )
-    corpus_sigs = _scale_hint(
-        corpus_packed.select(F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")),
-        small,
+    corpus_sigs = corpus_packed.select(
+        F.col("doc_id").alias("cdoc"), F.col("sig").alias("sig_b")
     )
     return corpus_fp, corpus_buckets, corpus_sigs
 
@@ -1265,28 +1330,47 @@ def _classify_batch(
     streaming ingest twin.  Joins are batch × corpus only — never
     corpus × corpus.  ``batch_buckets`` lets a caller that already
     exploded band keys (dedup_incremental splits one explode over the
-    shared stage) pass them in instead of re-exploding."""
-    exact = batch_fp.join(corpus_fp, "fp", "left").select("doc_id", "exact_match")
+    shared stage) pass them in instead of re-exploding.
+
+    Join shape above the gate: every batch-vs-corpus probe is an INNER
+    join with the shuffle-hash hint on the BATCH side — the per-partition
+    hash map is built from the batch (bounded), the corpus streams past
+    it, and when the corpus side is a committed bucketed index
+    (ingest_probe_index) it contributes NO exchange at all.  The exact
+    probe is inner + left-join-back rather than a direct left-outer so
+    the build side is never corpus-sized (left-outer shuffled-hash must
+    build the right/corpus side)."""
+    exact_hits = (
+        _scale_hint(batch_fp, small)
+        .join(corpus_fp, "fp")
+        .select("doc_id", "exact_match")
+    )
     if batch_buckets is None:
         batch_buckets = _band_buckets(batch_sigs)
     cand = (
-        batch_buckets.join(corpus_buckets, ["band", "bucket"])
+        _scale_hint(batch_buckets, small)
+        .join(corpus_buckets, ["bkey"])
         .select("doc_id", "cdoc")
         .distinct()
     )
     est = dround(_sig_agree() / F.lit(float(MINHASH_SEEDS)), 6)
+    # re-hint the composite batch side before the corpus join: a strategy
+    # hint is consumed by the join directly above it, so the cand hint
+    # alone would leave the refine join free to broadcast/build corpus
+    refine = _scale_hint(cand, small).join(
+        _scale_hint(batch_sigs.select("doc_id", F.col("sig").alias("sig_a")), small),
+        "doc_id",
+    )
     near = (
-        cand.join(
-            _scale_hint(
-                batch_sigs.select("doc_id", F.col("sig").alias("sig_a")), small
-            ),
-            "doc_id",
-        )
+        _scale_hint(refine, small)
         .join(corpus_sigs, "cdoc")
         .withColumn("est", est)
         .filter(F.col("est") >= threshold)
         .groupBy("doc_id")
         .agg(F.min("cdoc").alias("near_match"))
+    )
+    exact = batch_fp.select("doc_id").join(
+        _scale_hint(exact_hits, small), "doc_id", "left"
     )
     # the near table is batch-doc-level — still corpus-growth-sized, so it
     # rides the same gate (a broadcast here is a driver collect of every
@@ -1322,13 +1406,20 @@ def classify_arrivals(
     side still reads the shared durable stage."""
     from .sampling import _u_col
 
-    incoming = _u_col(seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
-    marked = spark.table("documents").select(
-        "doc_id", F.md5("text").alias("fp"), incoming.alias("incoming")
-    )
     small = _corpus_small(spark)
-    packed = _packed_signatures(spark, sf_dir)
-    corpus_fp, corpus_buckets, corpus_sigs = _corpus_probe_side(marked, packed, small)
+    if sf_dir:
+        # service posture: the micro-batch probes the committed bucketed
+        # index — no corpus-side derivation or shuffle inside the trigger
+        corpus_fp, corpus_buckets, corpus_sigs = ingest_probe_index(spark, sf_dir)
+    else:
+        incoming = _u_col(seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
+        marked = spark.table("documents").select(
+            "doc_id", F.md5("text").alias("fp"), incoming.alias("incoming")
+        )
+        packed = _packed_signatures(spark, sf_dir)
+        corpus_fp, corpus_buckets, corpus_sigs = _corpus_probe_side(
+            marked, packed, small
+        )
     batch_fp = arrivals.select("doc_id", F.md5("text").alias("fp"))
     batch_sigs = minhash_signatures(spark, arrivals).select(
         "doc_id",

@@ -91,6 +91,58 @@ def write_stage(
     return snapshots.commit_dataframe(spark, df, path)
 
 
+def write_stage_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    sf_dir: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    namespace: str = "stages",
+    content_key: str | None = None,
+    root: str | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """write_stage for a corpus-sized PROBE table: committed hash-bucketed
+    on its join key so every later batch-vs-corpus join reads the corpus
+    side pre-partitioned (no corpus shuffle per batch — the O(batch)
+    ingest posture).
+
+    Iceberg path: ``partitionedBy(bucket(n, col))`` — with
+    ``spark.sql.sources.v2.bucketing.enabled`` (storage-partitioned
+    joins) the same exchange elision applies on a real cluster.
+    Fallback: a Spark-native bucketed parquet table committed under the
+    rename+manifest protocol and re-declared via DDL per session
+    (sources/snapshots.commit_bucketed)."""
+    if iceberg_available(spark):
+        from pyspark.sql.functions import bucket
+
+        ident = f"{CATALOG}.{namespace}.{name}"
+        key = f"{sf_dir}|{content_key if content_key is not None else _plan_key(df)}"
+        key += f"|bucket:{bucket_col}x{n_buckets}"
+        if not force and _iceberg_key_matches(spark, ident, key):
+            return spark.table(ident)
+        (
+            df.writeTo(ident)
+            .using("iceberg")
+            .tableProperty("gss.content-key", key)
+            .partitionedBy(bucket(n_buckets, bucket_col))
+            .createOrReplace()
+        )
+        return spark.table(ident)
+    from . import snapshots
+
+    path = stage_path(df, name, sf_dir, content_key, root=root)
+    if force:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return snapshots.commit_bucketed(
+        spark, df, path, [bucket_col], n_buckets=n_buckets, sort_cols=sort_cols
+    )
+
+
 def _plan_key(df: DataFrame) -> str:
     return str(df._jdf.queryExecution().analyzed().semanticHash())  # noqa: SLF001
 

@@ -242,6 +242,102 @@ def stage_versions(name: str, sf_dir: str, root: str = DEFAULT_ROOT) -> list[dic
     return out
 
 
+def _bucket_table_name(path: str) -> str:
+    """Session-catalog name for a bucketed snapshot — derived 1:1 from the
+    content-keyed directory name, so re-registration in a fresh session is
+    deterministic and two different snapshots never collide."""
+    import re
+
+    return "gss_bkt_" + re.sub(r"[^a-z0-9_]", "_", os.path.basename(path).lower())
+
+
+def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Reader of a committed bucketed snapshot.  Bucket layout is METADATA,
+    not file bytes — ``spark.read.parquet`` would see plain files and
+    re-shuffle on every join, so the reader (re)declares a catalog table
+    (``CLUSTERED BY ... INTO n BUCKETS LOCATION ...``) over the committed
+    directory; Spark then exposes the scan as hash-partitioned on the
+    bucket key and joins against it need NO exchange on this side.  The
+    DDL is rebuilt from the manifest in any fresh session (the in-memory
+    catalog does not persist)."""
+    manifest = os.path.join(path, "_manifest.json")
+    with open(manifest) as f:
+        meta = json.load(f)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(meta["schema"])
+    cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    b = meta["bucket"]
+    sorted_clause = (
+        f" SORTED BY ({', '.join(b['sort'])})" if b.get("sort") else ""
+    )
+    tbl = _bucket_table_name(path)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tbl} ({cols_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(b['cols'])}){sorted_clause} "
+        f"INTO {b['n']} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(tbl)
+
+
+def commit_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """commit_dataframe's bucketed twin: materialize ``df`` hash-bucketed
+    on ``bucket_cols`` (one file per bucket via the pre-repartition, so
+    the per-file ``sortBy`` order is also usable by sort-merge joins)
+    under the same write→rename→manifest atomic protocol.  The service
+    posture this exists for: a corpus-sized probe table committed ONCE,
+    where every later batch join shuffles ONLY the batch side."""
+    manifest = os.path.join(path, "_manifest.json")
+    if not os.path.exists(manifest):
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            # bucketBy only exists on saveAsTable: write through a
+            # transient external table at the tmp path, then drop the
+            # catalog entry (external: files stay) and rename
+            tmp_tbl = f"{_bucket_table_name(path)}_w{os.getpid()}"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            writer = (
+                df.repartition(n_buckets, *bucket_cols)
+                .write.bucketBy(n_buckets, *bucket_cols)
+            )
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+            writer.option("path", tmp).mode("overwrite").saveAsTable(tmp_tbl)
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            if os.path.exists(path):  # lost a race: another writer committed
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.rename(tmp, path)
+        if not os.path.exists(manifest):
+            committed = spark.read.parquet(path)
+            meta = {
+                "path": path,
+                "rows": committed.count(),
+                "committed_at": time.time(),
+                "schema": committed.schema.jsonValue(),
+                "bucket": {
+                    "cols": list(bucket_cols),
+                    "n": n_buckets,
+                    "sort": list(sort_cols or []),
+                },
+            }
+            with open(manifest + f".tmp-{os.getpid()}", "w") as f:
+                json.dump(meta, f)
+            os.rename(manifest + f".tmp-{os.getpid()}", manifest)
+    else:
+        touch_manifest(manifest)  # reuse: GC ranks live keys above stale ones
+    return read_bucketed(spark, path)
+
+
 def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """The write→rename→manifest commit protocol for an arbitrary
     DataFrame (the generic form of snapshot_table's SQL path; the Iceberg

@@ -747,3 +747,84 @@ class TestDecontaminateAndIncremental:
             .toString()
         )
         assert "Join" not in plan and "Window" not in plan
+
+
+class TestIngestProbeIndex:
+    """The committed bucketed corpus probe index: per-ingest work must be
+    O(batch) — corpus sides read pre-bucketed with NO exchange and no
+    broadcast above the gate."""
+
+    def test_index_path_bucketed_scans_no_corpus_exchange(self, geo, monkeypatch):
+        from tests.conftest import SF_DIR
+
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        df = dedup.dedup_incremental(geo, sf_dir=SF_DIR)
+        plan_text = df._jdf.queryExecution().executedPlan().toString()
+        # all three probe tables (fp, band, sig) scan as bucketed —
+        # hash partitioning comes from the committed layout.  (AQE must
+        # be on, the production posture: the non-adaptive planner
+        # conforms exchanges to spark.sql.shuffle.partitions and would
+        # re-shuffle the bucketed side when the counts differ.)
+        assert plan_text.count("Bucketed: true") == 3
+        assert "BroadcastExchange" not in plan_text
+        # no Exchange BETWEEN an index scan and the join it feeds: the
+        # scan's committed hash partitioning is consumed directly (the
+        # flag resets at each join boundary — exchanges above the join,
+        # e.g. the near-agg shuffle, are batch-sized and expected)
+        hits: list[bool] = []
+
+        def walk(node, x_since_join: bool) -> None:
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.initialPlan(), x_since_join)
+                return
+            if "Scan" in cls and "gss_bkt_" in node.toString().splitlines()[0]:
+                hits.append(x_since_join)
+            down = False if "Join" in cls else x_since_join
+            kids = node.children()
+            for i in range(kids.size()):
+                walk(kids.apply(i), down or "Exchange" in cls)
+
+        walk(df._jdf.queryExecution().executedPlan(), False)
+        assert hits == [False, False, False]
+
+    def test_index_result_equals_inline(self, geo):
+        from tests.conftest import SF_DIR
+
+        inline = (
+            dedup.dedup_incremental(geo)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        indexed = (
+            dedup.dedup_incremental(geo, sf_dir=SF_DIR)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert inline.equals(indexed)
+
+    def test_commit_bucketed_survives_catalog_loss(self, spark, tmp_path):
+        """A fresh session has an empty in-memory catalog: read_bucketed
+        must re-declare the table over the committed directory and the
+        join must still scan it bucketed."""
+        path = str(tmp_path / "probe_idx_abcdef123456")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), F.xxhash64("id").alias("v")
+        )
+        first = snapshots.commit_bucketed(spark, df, path, ["k"], 8, ["k"])
+        assert first.count() == 1000
+        # simulate a fresh session: drop the catalog entry, keep the files
+        spark.sql(f"DROP TABLE {snapshots._bucket_table_name(path)}")
+        again = snapshots.read_bucketed(spark, path)
+        probe = spark.range(50).select(F.col("id").alias("k"))
+        plan = (
+            probe.hint("shuffle_hash")
+            .join(again, "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan
+        assert probe.join(again, "k").count() == 50
