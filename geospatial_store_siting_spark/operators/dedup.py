@@ -273,13 +273,33 @@ MINHASH_P = 2147483647  # 2^31 - 1 (prime) — universal-hash modulus
 
 
 def _h48_sql(h: str = "h") -> str:
-    """48-bit integer from the first 12 md5 nibbles (portable, exact)."""
+    """48-bit integer from the first 12 md5 nibbles (portable, exact).
+
+    Nibble order is LITTLE-endian (position 1 carries 16^0): an arbitrary
+    historical choice, but every committed signature and every oracle
+    depends on it, so both forms of this function preserve it.  This is
+    the PORTABLE text — the lowest common denominator DuckDB and Spark
+    both evaluate identically — used in oracle SQL.  Spark-side hot paths
+    use ``_h48_fast`` instead: value-identical, ~3x cheaper per row."""
     return " + ".join(
         # CAST: a bare power-of-16 literal parses as INT32 in Spark and the
         # nibble product overflows under ANSI mode for n >= 8
         f"(INSTR('0123456789abcdef', SUBSTRING({h}, {n + 1}, 1)) - 1) * CAST({16 ** n} AS BIGINT)"
         for n in range(12)
     )
+
+
+def _h48_fast(h: str = "h") -> str:
+    """Spark-native twin of ``_h48_sql`` — identical value, JVM-fast.
+
+    ``conv(hex, 16, 10)`` parses big-endian, so reversing the 12-char
+    prefix first reproduces the little-endian nibble weighting of the
+    portable INSTR chain exactly (property-tested equal row-for-row in
+    tests/test_round5_ops.py).  The INSTR chain costs 12 SUBSTRING +
+    INSTR string ops per row — measured as ~75%% of a 2.56M-row scan's
+    time (BENCH/profile_ingest.py); conv is one codegen'd intrinsic.
+    DuckDB has no conv(), so oracles keep ``_h48_sql``."""
+    return f"CAST(CONV(REVERSE(SUBSTRING({h}, 1, 12)), 16, 10) AS BIGINT)"
 
 
 def _mh_sql(seed: int) -> str:
@@ -307,7 +327,7 @@ def minhash_signatures(
     sh = shingles(spark, docs)
     hashed = sh.select(
         "doc_id", F.md5("shingle").alias("h")
-    ).select("doc_id", F.expr(_h48_sql()).alias("h48"))
+    ).select("doc_id", F.expr(_h48_fast()).alias("h48"))
     # ONE spark.sql parse for all 64 aggregates: 64 separate F.expr calls
     # are 64 py4j parse round trips — measured 2.7 s of driver-serial plan
     # build per cold call at this width vs 0.4 s for the single templated

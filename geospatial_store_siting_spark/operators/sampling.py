@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dround
-from .dedup import _h48_sql
+from .dedup import _h48_fast, _h48_sql
 
 DEFAULT_SEED = "gss-sample-42"
 _U_SCALE = float(1 << 48)
@@ -36,13 +36,18 @@ _U_SCALE = float(1 << 48)
 def _u_sql(key: str = "doc_id", seed: str = DEFAULT_SEED) -> str:
     """Uniform-[0,1) SQL expression from md5(seed || key) — identical text
     runs on Spark and DuckDB (md5/INSTR/SUBSTRING are shared), identical
-    doubles out (48-bit integer / 2^48 is exact in IEEE754)."""
+    doubles out (48-bit integer / 2^48 is exact in IEEE754).  This is the
+    ORACLE form; Spark plans get the value-identical ``_u_col``."""
     h = f"md5('{seed}|' || CAST({key} AS STRING))"
     return f"(CAST(({_h48_sql(h)}) AS DOUBLE) / {_U_SCALE!r})"
 
 
 def _u_col(key: str = "doc_id", seed: str = DEFAULT_SEED):
-    return F.expr(_u_sql(key, seed))
+    """Spark-side uniform — same value as ``_u_sql``'s text via the
+    conv-based ``_h48_fast`` (the INSTR-chain form was ~75% of corpus-scan
+    time in the ingest-dedup profile, BENCH/profile_ingest.py)."""
+    h = f"md5('{seed}|' || CAST({key} AS STRING))"
+    return F.expr(f"(CAST(({_h48_fast(h)}) AS DOUBLE) / {_U_SCALE!r})")
 
 
 def hash_sample(

@@ -197,7 +197,7 @@ def rolling_fingerprint(spark: SparkSession) -> DataFrame:
     with the base powers joined from a CAP-row literal table, so both
     engines evaluate identical exact BIGINT arithmetic (a fold would not
     be portably expressible)."""
-    from .dedup import _h48_sql
+    from .dedup import _h48_fast
 
     powers = [(k, pow(ROLL_B, k, ROLL_P)) for k in range(ROLL_CAP)]
     pow_df = spark.createDataFrame(powers, "k int, bpow bigint")
@@ -216,7 +216,7 @@ def rolling_fingerprint(spark: SparkSession) -> DataFrame:
         )
         .select(
             "doc_id", "n", "i",
-            (F.expr(_h48_sql("h")) % ROLL_P).alias("hmod"),
+            (F.expr(_h48_fast("h")) % ROLL_P).alias("hmod"),
         )
     )
     term = (F.col("hmod") * F.col("bpow")) % ROLL_P

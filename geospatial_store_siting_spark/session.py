@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode split sizing: bench corpora are O(1 GB) in ~30 MB
+        # files, and the default 128 MB maxPartitionBytes packs them into
+        # ~11 scan tasks — local[16]+ leaves cores idle on every corpus
+        # scan (measured in BENCH/profile_ingest.py).  32 MB keeps one
+        # task per file here; a real cluster submit (conf on spark-submit)
+        # overrides this back up for 100-TB inputs with large files.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

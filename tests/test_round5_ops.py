@@ -480,6 +480,34 @@ class TestParquetFallbackTimeTravel:
             iceberg.read_stage_version(spark, "ghost", 0)
 
 
+class TestH48FastParity:
+    """The Spark-fast conv-based 48-bit hash must equal the portable
+    INSTR-chain form row-for-row: every committed signature stage and
+    every DuckDB oracle depends on the little-endian nibble value."""
+
+    def test_h48_fast_equals_portable_on_corpus(self, geo):
+        hexed = geo.table("documents").select(F.md5("text").alias("h"))
+        diff = hexed.select(
+            (F.expr(dedup._h48_fast("h")) != F.expr(dedup._h48_sql("h"))).alias("d")
+        ).filter("d")
+        assert diff.count() == 0
+
+    def test_h48_fast_on_crafted_edges(self, geo):
+        # all-zero, all-f, mixed-case digits absent from md5 output, and
+        # the boundary where nibble 12 carries 16^11
+        rows = [("000000000000ffffffffffffffffffff",),
+                ("ffffffffffff00000000000000000000",),
+                ("0123456789abcdef0123456789abcdef",),
+                ("a0000000000b" + "0" * 20,)]
+        df = geo.createDataFrame(rows, "h string")
+        got = df.select(
+            F.expr(dedup._h48_fast("h")).alias("fast"),
+            F.expr(dedup._h48_sql("h")).alias("slow"),
+        ).collect()
+        for r in got:
+            assert r["fast"] == r["slow"]
+
+
 class TestSamplingOperators:
     """Deterministic corpus sampling: map-only plans, WindowGroupLimit on
     the per-group cut, and partition-layout independence (the property
