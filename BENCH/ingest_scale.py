@@ -97,6 +97,10 @@ def run(cores: int, repl: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repl = int(os.environ.get("DEDUP_SCALE_REPL", "128"))
+    from _host import cpu_control
+
+    host = cpu_control()
+    print(json.dumps({"host_control": host}))
     runs4 = [run(4, repl, sf_dir)]
     runs16 = [run(16, repl, sf_dir)]
     runs4.append(run(4, repl, sf_dir))
@@ -117,7 +121,8 @@ def main() -> None:
             f"| arrivals/sec @ local[4] (N) | {rN['arrivals_per_sec']} | {rN['arrivals']} arrivals vs {rN['docs']}-doc corpus in {rN['sec']} s |\n"
             f"| arrivals/sec @ local[16] (4N) | {r4N['arrivals_per_sec']} | same input, same plan |\n"
             f"| scaling efficiency N→4N | **{round(eff, 3)}** | best-of-2 interleaved |\n"
-            f"| signature-stage + probe-index cold build (untimed service setup) | {r4N['cold_stage_sec']} s @ local[16] | committed once per corpus, every ingest reads it |\n\n"
+            f"| signature-stage + probe-index cold build (untimed service setup) | {r4N['cold_stage_sec']} s @ local[16] | committed once per corpus, every ingest reads it |\n"
+            f"| host parallel-capacity control (pure-CPU, no JVM) | {host['parallel_capacity']} | per-proc {host['per_proc_sec_4']} s @4-way vs {host['per_proc_sec_16']} s @16-way; <0.85 = degraded window |\n\n"
             f"The timed path is the steady-state ingest service: exact fingerprint\n"
             f"probe + LSH banding of the arrival batch against the COMMITTED BUCKETED\n"
             f"corpus probe index (ingest_fp_idx / ingest_band_idx / ingest_sig_idx,\n"

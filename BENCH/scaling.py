@@ -103,6 +103,10 @@ def main() -> None:
     # measurements on a shared VM showed ±40% wall variance (including
     # impossible superlinear "speedups"), so min-of-interleaved is the
     # defensible estimator
+    from _host import cpu_control
+
+    host = cpu_control()
+    print(json.dumps({"host_control": host}))
     runs4 = [run(4, repl, sf_dir)]
     runs16 = [run(16, repl, sf_dir)]
     runs4.append(run(4, repl, sf_dir))
@@ -124,6 +128,7 @@ levels; throughput = processed site-rows/sec (3 operators × |sites|).
 | rows/sec @ local[4] (N) | {r8["rows_per_sec"]} | {r8["rows"]} rows in {r8["sec"]} s |
 | rows/sec @ local[16] (4N) | {r32["rows_per_sec"]} | {r32["rows"]} rows in {r32["sec"]} s |
 | scaling efficiency N→4N cores | **{eff:.3f}** | target ≥ 0.8 |
+| host parallel-capacity control (pure-CPU, no JVM) | {host["parallel_capacity"]} | per-proc {host["per_proc_sec_4"]} s @4-way vs {host["per_proc_sec_16"]} s @16-way; <0.85 = degraded window, ratio understates the engine |
 
 Efficiency = (T_4N / T_N) / 4, best-of-2 interleaved runs per level.  Generated by `python BENCH/scaling.py`.
 """
