@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q(text_ops.scrub_pii),
         "vocab_topk": _q(text_ops.vocab_topk),
         "corpus_source_report": _q(text_ops.corpus_source_report),
+        "chunk_documents": _q(text_ops.chunk_documents),
         # --- deterministic corpus sampling (training-recipe ops) ---
         "sample_hash": _q(sampling.hash_sample),
         "sample_stratified": _q(sampling.stratified_sample),
@@ -185,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q(dedup.simhash),
         "dedup_simhash_pairs": _qsf(lambda s, d: dedup.simhash_pairs(s, sf_dir=d)),
         "dedup_components": _qsf(lambda s, d: dedup.near_dup_components(s, sf_dir=d)),
+        "dedup_cluster_representatives": _qsf(
+            lambda s, d: dedup.cluster_representatives(s, sf_dir=d)
+        ),
         "training_corpus": _qsf(lambda s, d: dedup.training_corpus(s, sf_dir=d)),
         "decontaminate": _qsf(lambda s, d: dedup.decontaminate(s, sf_dir=d)),
         "dedup_incremental": _qsf(lambda s, d: dedup.dedup_incremental(s, sf_dir=d)),
@@ -345,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": text_ops.scrub_pii_oracle_sql(),
         "vocab_topk": text_ops.vocab_topk_oracle_sql(),
         "corpus_source_report": text_ops.corpus_source_report_oracle_sql(),
+        "chunk_documents": text_ops.chunk_documents_oracle_sql(),
         "sample_hash": sampling.hash_sample_oracle_sql(),
         "sample_stratified": sampling.stratified_sample_oracle_sql(),
         "sample_group_k": sampling.group_sample_oracle_sql(),
@@ -358,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_oracle_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),
         "dedup_components": dedup.near_dup_components_oracle_sql(),
+        "dedup_cluster_representatives": dedup.cluster_representatives_oracle_sql(),
         "training_corpus": dedup.training_corpus_oracle_sql(),
         "decontaminate": dedup.decontaminate_oracle_sql(),
         "dedup_incremental": dedup.dedup_incremental_oracle_sql(),

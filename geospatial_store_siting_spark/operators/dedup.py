@@ -1502,3 +1502,56 @@ SELECT e.doc_id,
             ELSE 'novel' END AS status,
        CAST(COALESCE(e.exact_match, n.near_match) AS BIGINT) AS match_doc
 FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection (quality-argmax keep policy)
+# ---------------------------------------------------------------------------
+
+def cluster_representatives(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """One representative per near-duplicate component, chosen by QUALITY
+    (argmax quality_score, ties to the smallest doc_id) — the production
+    keep policy when clusters mix a clean original with mangled copies:
+    min-id (training_corpus's policy) keeps whichever copy was ingested
+    first; this keeps the best one.
+
+    Shape: components (doc-level) ⋈ quality (map-only projection) on
+    doc_id, then ONE hash aggregation per component — ``max_by`` over a
+    (quality, -doc_id) struct gives the argmax with the deterministic
+    tie-break in the same shuffle that counts members; no window sort,
+    partial aggregation map-side.  Component count ≪ corpus size, so the
+    output is always the small end of whatever join consumes it."""
+    from .text_ops import quality_score_col
+
+    comps = near_dup_components(spark, sf_dir=sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", dround(quality_score_col(), 4).alias("quality")
+    )
+    m = comps.join(docs, "doc_id")
+    return m.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("rep_doc"),
+        F.max("quality").alias("rep_quality"),
+    )
+
+
+def cluster_representatives_oracle_sql() -> str:
+    from .text_ops import quality_score_oracle_sql
+
+    return f"""
+WITH comps AS ({near_dup_components_oracle_sql()}),
+q AS ({quality_score_oracle_sql()}),
+m AS (
+  SELECT c.component, c.doc_id, q.quality,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM comps c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT component, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS rep_doc, quality AS rep_quality
+FROM m WHERE rn = 1"""

@@ -478,3 +478,65 @@ SELECT source, n_docs, n_unique,
        (FLOOR((CAST(q_sum AS DOUBLE) / (n_docs * 10000)) * 1000000.0 + 0.5) / 1000000.0) AS avg_quality,
        (FLOOR((CAST(tok_sum AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0) AS avg_tokens
 FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# Token-window document chunking (context-length preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk (model context budget per example)
+CHUNK_STRIDE = 48   # chunk start step; CHUNK_TOKENS - CHUNK_STRIDE = overlap
+
+
+def chunk_documents(
+    spark: SparkSession, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the step that turns a
+    cleaned corpus into context-length training examples (cf. the
+    reference's span extraction, which windows by character offsets:
+    notebooks/02_build_h3_aggregates.py drives the same explode shape).
+
+    One ``sequence`` of chunk starts per doc + ``posexplode``: chunk i
+    covers tokens [1 + i*stride, 1 + i*stride + size) over the
+    whitespace tokens, the trailing chunk is allowed short.  Map-side
+    explode fused into the scan — output rows ≈ n_tokens/stride per doc,
+    linear in corpus size, no shuffle at all (chunk identity is
+    (doc_id, chunk_idx), no cross-doc state).  Chunk text is emitted as
+    md5 so the row stays fixed-width at any chunk size."""
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok"), size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    # DuckDB list slicing toks[a:b] is 1-based inclusive and clamps at
+    # len(toks) — same semantics as Spark slice(toks, start, size) at the
+    # tail (verified: trailing short chunk hashes identically)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks), {stride})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {stride} AS INTEGER) AS chunk_idx,
+       CAST(start AS INTEGER) AS start_tok,
+       CAST(len(toks[start : start + {size} - 1]) AS INTEGER) AS n_chunk_tokens,
+       MD5(array_to_string(toks[start : start + {size} - 1], ' ')) AS chunk_md5
+FROM s"""

@@ -856,3 +856,73 @@ class TestIngestProbeIndex:
         )
         assert "Bucketed: true" in plan
         assert probe.join(again, "k").count() == 50
+
+
+class TestChunkDocuments:
+    def test_window_invariants_on_crafted_doc(self, geo):
+        """Chunk boundaries, overlap, and trailing-short-chunk rule against
+        a Python recomputation on a crafted 10-token doc (size=4, stride=3:
+        starts 1,4,7,10 — full, full, full, trailing-short per the clamp),
+        plus DuckDB oracle parity on the same crafted frame."""
+        import hashlib
+
+        import duckdb
+        import pandas as pd
+
+        from geospatial_store_siting_spark.operators import text_ops
+        from geospatial_store_siting_spark.testing import frames_match
+
+        toks = [f"t{i}" for i in range(10)]
+        pdf = pd.DataFrame({"doc_id": [1], "text": [" ".join(toks)]})
+        old = geo.table("documents")
+        geo.createDataFrame(pdf).createOrReplaceTempView("documents")
+        try:
+            sdf = text_ops.chunk_documents(geo, size=4, stride=3)
+            out = sdf.orderBy("chunk_idx").collect()
+            con = duckdb.connect()
+            con.register("documents", pdf)
+            ok, msg = frames_match(
+                sdf.toPandas(),
+                con.execute(
+                    text_ops.chunk_documents_oracle_sql(size=4, stride=3)
+                ).df(),
+            )
+            assert ok, msg
+        finally:
+            old.createOrReplaceTempView("documents")
+        assert [r.start_tok for r in out] == [1, 4, 7, 10]
+        assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+        assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 1]
+        for r in out:
+            expected = " ".join(toks[r.start_tok - 1 : r.start_tok - 1 + 4])
+            assert r.chunk_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+    def test_explode_is_shuffle_free(self, geo):
+        """The chunking plan must be a pure scan+generate — any Exchange
+        means cross-doc state crept in."""
+        from geospatial_store_siting_spark.operators import text_ops
+
+        plan = text_ops.chunk_documents(geo)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+class TestClusterRepresentatives:
+    def test_rep_is_quality_argmax_member(self, geo):
+        """Every representative is a member of its component, carries the
+        component's max quality, and ties break to the smallest doc_id —
+        recomputed via an independent join against quality_score."""
+        from geospatial_store_siting_spark.operators import dedup as dd
+        from geospatial_store_siting_spark.operators import text_ops
+
+        reps = dd.cluster_representatives(geo).toPandas()
+        comps = dd.near_dup_components(geo).toPandas()
+        q = text_ops.quality_score(geo).toPandas().set_index("doc_id")["quality"]
+        assert len(reps) == comps["component"].nunique() > 0
+        members = comps.groupby("component")["doc_id"].apply(list)
+        for row in reps.itertuples():
+            ms = members[row.component]
+            assert row.rep_doc in ms
+            assert row.n_members == len(ms)
+            best = max(q[m] for m in ms)
+            assert row.rep_quality == best
+            assert row.rep_doc == min(m for m in ms if q[m] == best)
