@@ -1288,11 +1288,7 @@ def ingest_probe_index(
         .groupBy("fp")
         .agg(F.min("doc_id").alias("exact_match"))
     )
-    key = _content_key(
-        f"ingest-index|{INGEST_SEED}|{INGEST_FRACTION}|"
-        f"{MINHASH_SEEDS}x{LSH_BANDS}|v1",
-        code=(shingles, minhash_signatures, _band_buckets, _u_col),
-    )
+    key = _ingest_index_key()
     fp_idx = iceberg.write_stage_bucketed(
         spark, corpus_fp_plan, "ingest_fp_idx", sf_dir, bucket_col="fp",
         n_buckets=INGEST_INDEX_BUCKETS, sort_cols=["fp"],
@@ -1448,6 +1444,79 @@ def classify_arrivals(
     return _classify_batch(
         batch_fp, batch_sigs, corpus_fp, corpus_buckets, corpus_sigs, threshold, small
     )
+
+
+def _ingest_index_key() -> str:
+    """Content key of the committed ingest probe index: split semantics +
+    signature definition + producing code — shared by the builder
+    (ingest_probe_index) and the incremental maintainer (commit_arrivals)
+    so both resolve the same committed stage directories."""
+    from .sampling import _u_col
+
+    return _content_key(
+        f"ingest-index|{INGEST_SEED}|{INGEST_FRACTION}|"
+        f"{MINHASH_SEEDS}x{LSH_BANDS}|v1",
+        code=(shingles, minhash_signatures, _band_buckets, _u_col),
+    )
+
+
+def commit_arrivals(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    sf_dir: str,
+    classified: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> dict:
+    """Extend the committed ingest probe index with a batch's NOVEL
+    arrivals — the maintenance half of the O(batch) ingest service
+    (classify_arrivals is the read half): once a batch is classified,
+    its novel documents join the corpus, and the next batch must see
+    them as exact/near duplicates WITHOUT an index rebuild.
+
+    Work is O(batch) end to end: the novel rows' fingerprints, band
+    keys, and packed signatures are recomputed map-side over the batch
+    only (same expressions the index builder used), batch-internal
+    fingerprint duplicates collapse to their smallest doc_id (classify
+    only checks batch × corpus, so an intra-batch twin pair is both
+    'novel' — exactly one of them may own the fingerprint), and each
+    probe table grows by a per-bucket append (≤ n_buckets files per
+    table; Iceberg mode commits one append snapshot).  Returns the
+    appended row counts per index table."""
+    from ..sources import iceberg
+
+    if classified is None:
+        classified = classify_arrivals(spark, arrivals, threshold, sf_dir=sf_dir)
+    novel = classified.filter(F.col("status") == "novel").select("doc_id")
+    # pin the novel set BEFORE the first append: the classify plan reads
+    # the very index tables being appended to, so re-executing it lazily
+    # between appends would see the batch's own fp rows and reclassify
+    # the batch as exact_dup — fp appended, band/sig silently skipped
+    ndocs = arrivals.join(novel, "doc_id", "left_semi").localCheckpoint(eager=True)
+    # one map-side pass for signatures; fingerprints collapse intra-batch
+    fp_rows = (
+        ndocs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    sigs = minhash_signatures(spark, ndocs).select(
+        F.col("doc_id").alias("cdoc"),
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig_b"),
+    )
+    band_rows = _band_buckets(
+        sigs.select(F.col("cdoc").alias("doc_id"), F.col("sig_b").alias("sig"))
+    ).select(F.col("doc_id").alias("cdoc"), "bkey")
+    key = _ingest_index_key()
+    out = {}
+    out["ingest_fp_idx"] = iceberg.append_stage_bucketed(
+        spark, fp_rows, "ingest_fp_idx", sf_dir, content_key=key
+    )
+    out["ingest_band_idx"] = iceberg.append_stage_bucketed(
+        spark, band_rows, "ingest_band_idx", sf_dir, content_key=key
+    )
+    out["ingest_sig_idx"] = iceberg.append_stage_bucketed(
+        spark, sigs, "ingest_sig_idx", sf_dir, content_key=key
+    )
+    return out
 
 
 def dedup_incremental_oracle_sql(threshold: float = 0.5) -> str:

@@ -158,6 +158,34 @@ def _iceberg_key_matches(spark: SparkSession, ident: str, key: str) -> bool:
         return False
 
 
+def append_stage_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    sf_dir: str,
+    namespace: str = "stages",
+    content_key: str | None = None,
+    root: str | None = None,
+) -> int:
+    """Append rows to a committed bucketed stage — the incremental index
+    maintenance path (novel arrivals extend the corpus probe index
+    in place instead of forcing a rebuild).  Iceberg: ``writeTo.append``
+    commits one new snapshot (readers keep the previous one until the
+    pointer swaps; time travel covers the pre-append state).  Fallback:
+    a per-bucket parquet append + manifest lineage
+    (sources/snapshots.append_bucketed).  Returns appended row count."""
+    if iceberg_available(spark):
+        ident = f"{CATALOG}.{namespace}.{name}"
+        n = df.count()
+        if n:
+            df.writeTo(ident).append()
+        return n
+    from . import snapshots
+
+    path = stage_path(df, name, sf_dir, content_key, root=root)
+    return snapshots.append_bucketed(spark, df, path)
+
+
 def stage_path(
     df: DataFrame | None,
     name: str,

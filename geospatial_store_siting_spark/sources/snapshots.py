@@ -244,11 +244,17 @@ def stage_versions(name: str, sf_dir: str, root: str = DEFAULT_ROOT) -> list[dic
 
 def _bucket_table_name(path: str) -> str:
     """Session-catalog name for a bucketed snapshot — derived 1:1 from the
-    content-keyed directory name, so re-registration in a fresh session is
-    deterministic and two different snapshots never collide."""
+    content-keyed directory name PLUS a digest of the full path, so
+    re-registration in a fresh session is deterministic and two snapshots
+    never collide — including same-named stages under different roots
+    (e.g. two test snapshot roots), where a basename-only name would hit
+    CREATE TABLE IF NOT EXISTS pointing at the OLD location."""
+    import hashlib
     import re
 
-    return "gss_bkt_" + re.sub(r"[^a-z0-9_]", "_", os.path.basename(path).lower())
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+    base = re.sub(r"[^a-z0-9_]", "_", os.path.basename(path).lower())
+    return f"gss_bkt_{base}_{digest}"
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
@@ -336,6 +342,54 @@ def commit_bucketed(
     else:
         touch_manifest(manifest)  # reuse: GC ranks live keys above stale ones
     return read_bucketed(spark, path)
+
+
+def append_bucketed(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Append rows to a COMMITTED bucketed snapshot in place — the
+    incremental-maintenance half of the probe-index contract: when novel
+    arrivals extend the corpus, the index grows by a per-bucket append
+    (``df`` is re-bucketed on the committed bucket spec, so the write
+    touches at most n_buckets new files — O(batch), never a rebuild).
+
+    Post-append the directory is no longer a pure function of its
+    content key; the manifest records every append (rows + timestamp) as
+    lineage, and a ``force=True`` stage rebuild restores the derived
+    state.  Multiple files per bucket are fine for the exchange-elision
+    contract (bucket hash partitioning is per-bucket, not per-file);
+    only per-file sort-merge order is lost, which no probe join uses.
+    Returns the number of appended rows."""
+    manifest = os.path.join(path, "_manifest.json")
+    with open(manifest) as f:
+        meta = json.load(f)
+    b = meta["bucket"]
+    # align column order/types to the committed schema before appending
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(meta["schema"])
+    aligned = df.select(
+        *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    n_rows = aligned.count()
+    if n_rows == 0:
+        return 0
+    read_bucketed(spark, path)  # ensure the catalog table exists
+    writer = (
+        aligned.repartition(b["n"], *b["cols"])
+        .write.bucketBy(b["n"], *b["cols"])
+    )
+    if b.get("sort"):
+        writer = writer.sortBy(*b["sort"])
+    writer.mode("append").option("path", path).saveAsTable(_bucket_table_name(path))
+    meta["rows"] = int(meta.get("rows", 0)) + n_rows
+    meta.setdefault("appends", []).append({"rows": n_rows, "at": time.time()})
+    tmp = manifest + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, manifest)
+    # the catalog caches file listings for the table: refresh so readers
+    # in this session see the appended files immediately
+    spark.catalog.refreshTable(_bucket_table_name(path))
+    return n_rows
 
 
 def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:

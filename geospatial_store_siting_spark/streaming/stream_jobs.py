@@ -433,3 +433,61 @@ def incremental_dedup_stream(
     return spark.createDataFrame(
         rows, "doc_id bigint, status string, match_doc bigint"
     )
+
+
+def self_extending_ingest_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    sf_dir: str,
+    threshold: float = 0.5,
+):
+    """The SELF-EXTENDING form of incremental_dedup_stream: every
+    micro-batch is classified against the committed corpus probe index,
+    then its `novel` documents are COMMITTED to that index
+    (operators/dedup.commit_arrivals: per-bucket appends, O(batch)) —
+    so a duplicate arriving in a LATER trigger dedups against a novel
+    document from an EARLIER one.  This is the production ingest loop;
+    the non-extending twin exists separately because its output is
+    value-checked against the one-shot batch operator (which sees no
+    cross-trigger growth).
+
+    State lives entirely in the committed index tables — a crashed query
+    resumes from the last committed append (plus the stream's own file
+    checkpoint), not from in-memory state.  Verdicts are pinned per
+    trigger BEFORE the commit, so each doc's classification reflects the
+    corpus as of its own arrival."""
+    import pandas as pd
+
+    from ..operators import dedup
+
+    collected: list[pd.DataFrame] = []
+
+    def classify_and_commit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        arrivals = batch_df.select("doc_id", "text")
+        out = dedup.classify_arrivals(s, arrivals, threshold, sf_dir)
+        # pin verdicts first: commit_arrivals re-executes the classify
+        # plan (against the still-unextended index) when it pins the
+        # novel set, then appends — order keeps the two views identical
+        collected.append(out.toPandas())
+        dedup.commit_arrivals(s, arrivals, sf_dir, classified=out,
+                              threshold=threshold)
+
+    q = (
+        docs.writeStream.foreachBatch(classify_and_commit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    allv = pd.concat(collected, ignore_index=True)
+    rows = [
+        (
+            int(r.doc_id),
+            str(r.status),
+            None if pd.isna(r.match_doc) else int(r.match_doc),
+        )
+        for r in allv.itertuples()
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, status string, match_doc bigint"
+    )

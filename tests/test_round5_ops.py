@@ -926,3 +926,108 @@ class TestClusterRepresentatives:
             best = max(q[m] for m in ms)
             assert row.rep_quality == best
             assert row.rep_doc == min(m for m in ms if q[m] == best)
+
+
+class TestCommitArrivals:
+    """The maintenance half of the O(batch) ingest service: novel
+    arrivals extend the committed probe index in place (per-bucket
+    appends), so the NEXT batch sees them — no index rebuild."""
+
+    def test_appended_novel_docs_dedup_the_next_batch(self, geo, tmp_path, monkeypatch):
+        from tests.conftest import SF_DIR
+
+        monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_path))
+        dedup.ingest_probe_index(geo, SF_DIR)
+
+        # a corpus-side doc (NOT in the deterministic ingest split) for
+        # the exact-dup control arrival
+        from geospatial_store_siting_spark.operators.sampling import _u_col
+
+        corpus_doc = (
+            geo.table("documents")
+            .filter(~(_u_col(seed=dedup.INGEST_SEED) < dedup.INGEST_FRACTION))
+            .select("doc_id", "text")
+            .first()
+        )
+        novel_text = " ".join(f"zq{i}" for i in range(60))  # 60 unseen tokens
+        arrivals = geo.createDataFrame(
+            [(900001, novel_text), (900002, corpus_doc.text)],
+            "doc_id bigint, text string",
+        )
+        c1 = {
+            r.doc_id: r
+            for r in dedup.classify_arrivals(geo, arrivals, sf_dir=SF_DIR).collect()
+        }
+        assert c1[900001].status == "novel"
+        assert c1[900002].status == "exact_dup"
+        # the synthetic corpus contains exact-dup groups: the owner is the
+        # SMALLEST corpus-side doc with that text, not necessarily the
+        # sampled one
+        expected_owner = (
+            geo.table("documents")
+            .filter(~(_u_col(seed=dedup.INGEST_SEED) < dedup.INGEST_FRACTION))
+            .filter(F.col("text") == corpus_doc.text)
+            .agg(F.min("doc_id"))
+            .collect()[0][0]
+        )
+        assert c1[900002].match_doc == expected_owner
+
+        stats = dedup.commit_arrivals(geo, arrivals, SF_DIR)
+        # only the novel doc is appended: 1 fp row, 1 packed signature,
+        # one band key per LSH band
+        assert stats == {
+            "ingest_fp_idx": 1,
+            "ingest_band_idx": dedup.LSH_BANDS,
+            "ingest_sig_idx": 1,
+        }
+
+        # next batch: an exact copy and a 1-token near-dup of the
+        # previously-novel doc — both must now classify against it
+        # (the near-dup exercises the band/sig appends, not just fp)
+        near_text = " ".join(f"zq{i}" for i in range(59)) + " changed"
+        batch2 = geo.createDataFrame(
+            [(900003, novel_text), (900004, near_text)],
+            "doc_id bigint, text string",
+        )
+        c2 = {
+            r.doc_id: r
+            for r in dedup.classify_arrivals(geo, batch2, sf_dir=SF_DIR).collect()
+        }
+        assert c2[900003].status == "exact_dup"
+        assert c2[900003].match_doc == 900001
+        assert c2[900004].status == "near_dup"
+        assert c2[900004].match_doc == 900001
+
+        # the manifest carries append lineage; rows advanced
+        import glob as g
+
+        fp_dirs = g.glob(str(tmp_path / "*_ingest_fp_idx_*"))
+        assert len(fp_dirs) == 1
+        with open(os.path.join(fp_dirs[0], "_manifest.json")) as f:
+            meta = json.load(f)
+        assert len(meta["appends"]) == 1 and meta["appends"][0]["rows"] == 1
+
+    def test_appended_index_keeps_bucketed_no_exchange_scans(
+        self, geo, tmp_path, monkeypatch
+    ):
+        """Appends add files per bucket but must NOT cost the committed
+        layout's exchange elision: the probe plan still scans all three
+        index tables bucketed, with no corpus-side exchange."""
+        from tests.conftest import SF_DIR
+
+        monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_path))
+        monkeypatch.setattr(dedup, "DEDUP_BROADCAST_DOC_LIMIT", 0)
+        dedup.ingest_probe_index(geo, SF_DIR)
+        arrivals = geo.createDataFrame(
+            [(910001, " ".join(f"wq{i}" for i in range(50)))],
+            "doc_id bigint, text string",
+        )
+        dedup.commit_arrivals(geo, arrivals, SF_DIR)
+        plan_text = (
+            dedup.dedup_incremental(geo, sf_dir=SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_text.count("Bucketed: true") == 3
+        assert "BroadcastExchange" not in plan_text

@@ -238,3 +238,53 @@ def test_incremental_dedup_stream_equals_batch(geo):
     s = streamed[key].sort_values("doc_id", ignore_index=True)
     b = batch[key].sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def test_self_extending_stream_dedups_across_triggers(geo, tmp_path, monkeypatch):
+    """The production ingest loop: trigger 1 delivers a novel doc, the
+    service commits it to the probe index, trigger 2 delivers an exact
+    copy and a near-dup under new ids — BOTH must classify against the
+    trigger-1 doc (cross-trigger growth the non-extending twin forbids)."""
+    import os
+    import shutil
+    import time as _time
+
+    from geospatial_store_siting_spark.operators import dedup
+    from geospatial_store_siting_spark.sources import snapshots
+
+    monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_path))
+    dedup.ingest_probe_index(geo, SF_DIR)
+
+    novel_text = " ".join(f"sx{i}" for i in range(50))
+    near_text = " ".join(f"sx{i}" for i in range(49)) + " tail"
+    src = tmp_path / "arrival_stream"
+    os.makedirs(src)
+
+    def add_file(name: str, rows: list, mtime: float) -> None:
+        tmp = str(tmp_path / f"w_{name}")
+        geo.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = str(src / name)
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _time.time() - 100
+    add_file("b1.parquet", [(800001, novel_text)], t0)
+    add_file("b2.parquet", [(800002, novel_text), (800003, near_text)], t0 + 50)
+
+    docs = (
+        geo.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = {
+        r.doc_id: r
+        for r in stream_jobs.self_extending_ingest_stream(
+            geo, docs, SF_DIR
+        ).collect()
+    }
+    assert out[800001].status == "novel"
+    assert out[800002].status == "exact_dup" and out[800002].match_doc == 800001
+    assert out[800003].status == "near_dup" and out[800003].match_doc == 800001
