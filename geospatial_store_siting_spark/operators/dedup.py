@@ -1519,6 +1519,28 @@ def commit_arrivals(
     return out
 
 
+def compact_ingest_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Compact all three ingest probe-index tables back to one file per
+    bucket (snapshots.compact_bucketed) — run after enough commit_arrivals
+    triggers that per-bucket file counts matter.  Iceberg mode instead
+    uses the engine's own ``rewrite_data_files`` maintenance procedure,
+    so this wrapper is the parquet-fallback path only."""
+    from ..sources import iceberg, snapshots
+
+    if iceberg.iceberg_available(spark):
+        raise NotImplementedError(
+            "Iceberg catalogs compact via CALL rewrite_data_files; this "
+            "wrapper serves the parquet fallback"
+        )
+    key = _ingest_index_key()
+    return {
+        name: snapshots.compact_bucketed(
+            spark, iceberg.stage_path(None, name, sf_dir, key)
+        )
+        for name in ("ingest_fp_idx", "ingest_band_idx", "ingest_sig_idx")
+    }
+
+
 def dedup_incremental_oracle_sql(threshold: float = 0.5) -> str:
     from .sampling import _u_sql
 

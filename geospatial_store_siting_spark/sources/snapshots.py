@@ -392,6 +392,72 @@ def append_bucketed(spark: SparkSession, df: DataFrame, path: str) -> int:
     return n_rows
 
 
+def compact_bucketed(spark: SparkSession, path: str) -> dict:
+    """Rewrite a committed bucketed snapshot back to one file per bucket —
+    the maintenance counterpart of append_bucketed (Iceberg's
+    ``rewrite_data_files`` twin for the parquet fallback): each append
+    adds ≤ n_buckets small files, and after many ingest triggers the
+    per-bucket file count degrades scan/open cost (bucket pruning and
+    exchange elision are unaffected — bucketing is metadata — but a
+    10^4-file bucket is 10^4 parquet footers per scan).
+
+    The rewrite reads CURRENT rows through the bucketed table, re-commits
+    them under the same bucket spec into a sibling directory via the
+    write→rename protocol, then swaps directories (rename is atomic per
+    path; a crash between the two renames leaves the valid pre-compaction
+    directory at the ``.precompact`` sibling).  Appends-so-far collapse
+    into the base data; the manifest records the compaction in lineage.
+    Returns {"files_before", "files_after", "rows"}."""
+    manifest = os.path.join(path, "_manifest.json")
+    with open(manifest) as f:
+        meta = json.load(f)
+    b = meta["bucket"]
+
+    def _nfiles(p: str) -> int:
+        return sum(1 for n in os.listdir(p) if n.endswith(".parquet"))
+
+    files_before = _nfiles(path)
+    # read the files PLAIN, not through the bucketed catalog table: the
+    # table's declared HashPartitioning makes Catalyst remove the rewrite's
+    # repartition as redundant while the planner independently disables
+    # bucketed reading for a bare scan→write — net NO exchange, and writer
+    # tasks then hold arbitrary file splits, emitting one file per
+    # (task, bucket) pair instead of one per bucket
+    current = spark.read.parquet(path)
+    tmp = f"{path}.compact-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp_tbl = f"{_bucket_table_name(path)}_c{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    writer = (
+        current.repartition(b["n"], *b["cols"])
+        .write.bucketBy(b["n"], *b["cols"])
+    )
+    if b.get("sort"):
+        writer = writer.sortBy(*b["sort"])
+    writer.option("path", tmp).mode("overwrite").saveAsTable(tmp_tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    # swap: keep the old directory until the new one is in place
+    old = f"{path}.precompact-{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    meta.setdefault("compactions", []).append(
+        {"at": time.time(), "files_before": files_before}
+    )
+    mtmp = manifest + f".tmp-{os.getpid()}"
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(mtmp, manifest)
+    # drop + re-declare: the swapped directory has new files
+    spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(path)}")
+    read_bucketed(spark, path)
+    return {
+        "files_before": files_before,
+        "files_after": _nfiles(path),
+        "rows": int(meta.get("rows", 0)),
+    }
+
+
 def commit_dataframe(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """The write→rename→manifest commit protocol for an arbitrary
     DataFrame (the generic form of snapshot_table's SQL path; the Iceberg

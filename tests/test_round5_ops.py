@@ -1031,3 +1031,55 @@ class TestCommitArrivals:
         )
         assert plan_text.count("Bucketed: true") == 3
         assert "BroadcastExchange" not in plan_text
+
+
+class TestCompactBucketed:
+    def test_compaction_restores_one_file_per_bucket_and_plans(
+        self, geo, tmp_path, monkeypatch
+    ):
+        """After appends pile small files into the index buckets,
+        compaction rewrites each table to one file per occupied bucket
+        with identical rows, and the probe plan still scans all three
+        tables bucketed with no corpus-side exchange."""
+        from tests.conftest import SF_DIR
+
+        monkeypatch.setattr(snapshots, "DEFAULT_ROOT", str(tmp_path))
+        dedup.ingest_probe_index(geo, SF_DIR)
+        for i in range(2):  # two ingest triggers of one novel doc each
+            arrivals = geo.createDataFrame(
+                [(920001 + i, " ".join(f"cp{i}x{j}" for j in range(50)))],
+                "doc_id bigint, text string",
+            )
+            dedup.commit_arrivals(geo, arrivals, SF_DIR)
+
+        import glob as g
+
+        fp_dir = g.glob(str(tmp_path / "*_ingest_fp_idx_*"))[0]
+        before = dedup.ingest_probe_index(geo, SF_DIR)[0].orderBy("fp").toPandas()
+        stats = dedup.compact_ingest_index(geo, SF_DIR)
+        assert stats["ingest_fp_idx"]["files_after"] < stats["ingest_fp_idx"]["files_before"]
+
+        after = dedup.ingest_probe_index(geo, SF_DIR)[0].orderBy("fp").toPandas()
+        assert before.equals(after)
+        # appended docs still resolve post-compaction
+        c = dedup.classify_arrivals(
+            geo,
+            geo.createDataFrame(
+                [(930001, " ".join(f"cp0x{j}" for j in range(50)))],
+                "doc_id bigint, text string",
+            ),
+            sf_dir=SF_DIR,
+        ).collect()[0]
+        assert c.status == "exact_dup" and c.match_doc == 920001
+        # manifest lineage records the compaction
+        with open(os.path.join(fp_dir, "_manifest.json")) as f:
+            meta = json.load(f)
+        assert len(meta.get("compactions", [])) == 1
+
+        plan_text = (
+            dedup.dedup_incremental(geo, sf_dir=SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_text.count("Bucketed: true") == 3
