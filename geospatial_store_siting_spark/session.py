@@ -33,13 +33,20 @@ def get_spark(
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local-mode split sizing: bench corpora are O(1 GB) in ~30 MB
-        # files, and the default 128 MB maxPartitionBytes packs them into
-        # ~11 scan tasks — local[16]+ leaves cores idle on every corpus
-        # scan (measured in BENCH/profile_ingest.py).  32 MB keeps one
-        # task per file here; a real cluster submit (conf on spark-submit)
-        # overrides this back up for 100-TB inputs with large files.
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # local-mode split sizing, scaled to the session's cores: bench
+        # corpora are O(1 GB) in ~30 MB files, and a FIXED split size
+        # serves only one parallelism level — 128 MB packs them into ~11
+        # scan tasks (local[16]+ idles cores on every corpus scan,
+        # measured in BENCH/profile_ingest.py), while a flat 32 MB gave
+        # local[4] 4x the tasks with no idle cores to feed and measurably
+        # slowed it (BENCH/scaling.py r5: 79 s -> 97 s at N=4).
+        # 512 MB/cores targets ~cores splits per ~0.5 GB scan at every
+        # level, floored at 32 MB; a real cluster submit overrides this
+        # for 100-TB inputs with large files.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(32 * 1024 * 1024, (512 * 1024 * 1024) // cores)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
