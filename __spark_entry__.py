@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q(text_ops.vocab_topk),
         "corpus_source_report": _q(text_ops.corpus_source_report),
         "chunk_documents": _q(text_ops.chunk_documents),
+        "dup_ngram_fraction": _q(text_ops.dup_ngram_fraction),
+        "boilerplate_ngrams": _q(text_ops.boilerplate_ngrams),
+        "unigram_surprisal": _q(text_ops.unigram_surprisal),
         # --- deterministic corpus sampling (training-recipe ops) ---
         "sample_hash": _q(sampling.hash_sample),
         "sample_stratified": _q(sampling.stratified_sample),
@@ -350,6 +353,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": text_ops.vocab_topk_oracle_sql(),
         "corpus_source_report": text_ops.corpus_source_report_oracle_sql(),
         "chunk_documents": text_ops.chunk_documents_oracle_sql(),
+        "dup_ngram_fraction": text_ops.dup_ngram_fraction_oracle_sql(),
+        "boilerplate_ngrams": text_ops.boilerplate_ngrams_oracle_sql(),
+        "unigram_surprisal": text_ops.unigram_surprisal_oracle_sql(),
         "sample_hash": sampling.hash_sample_oracle_sql(),
         "sample_stratified": sampling.stratified_sample_oracle_sql(),
         "sample_group_k": sampling.group_sample_oracle_sql(),

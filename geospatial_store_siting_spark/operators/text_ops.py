@@ -540,3 +540,255 @@ SELECT doc_id,
        CAST(len(toks[start : start + {size} - 1]) AS INTEGER) AS n_chunk_tokens,
        MD5(array_to_string(toks[start : start + {size} - 1], ' ')) AS chunk_md5
 FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram repetition & boilerplate signals (Gopher / C4-style rules)
+# ---------------------------------------------------------------------------
+
+# corpus-relative doc-frequency threshold for "boilerplate" n-grams, with
+# an absolute floor so tiny corpora don't flag everything
+BOILERPLATE_MIN_DF = 3
+BOILERPLATE_DF_FRAC = 0.005
+
+
+def dup_ngram_fraction(spark: SparkSession) -> DataFrame:
+    """WITHIN-doc duplicated word-3-gram fraction — the Gopher repetition
+    rule `token_repetition` doesn't cover (that one is unigram top-token /
+    distinct ratios; degenerate texts can pass both while looping a
+    multi-word phrase).  Instance- and character-weighted variants:
+    `dup_ratio` = fraction of shingle instances whose shingle occurs ≥2×
+    in the doc, `dup_char_ratio` the same weighted by shingle characters
+    (the paper's formulation).
+
+    Reuses dedup.shingles (≤MAX_SHINGLES per doc — bounded work).  Two
+    hash aggs keyed by doc_id; all arithmetic is exact BIGINT until one
+    final division, so the oracle hash is engine-exact.  Map-side combine
+    absorbs any doc-length skew; no joins, no broadcast."""
+    from .dedup import shingles
+
+    per = (
+        shingles(spark)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_id", "c", F.length("shingle").alias("slen"))
+    )
+    dup_inst = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.sum(dup_inst).alias("n_dup"),
+        F.sum(F.col("c") * F.col("slen")).alias("chars_total"),
+        F.sum(dup_inst * F.col("slen")).alias("chars_dup"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        dround(F.col("n_dup").cast("double") / F.col("n_shingles"), 6).alias(
+            "dup_ratio"
+        ),
+        dround(F.col("chars_dup").cast("double") / F.col("chars_total"), 6).alias(
+            "dup_char_ratio"
+        ),
+    )
+
+
+def dup_ngram_fraction_oracle_sql() -> str:
+    from .dedup import shingles_sql
+
+    return f"""
+WITH sh AS ({shingles_sql()}),
+per AS (
+  SELECT doc_id, shingle, COUNT(*) AS c, LENGTH(shingle) AS slen
+  FROM sh GROUP BY doc_id, shingle
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(SUM(c * slen) AS BIGINT) AS chars_total,
+         CAST(SUM(CASE WHEN c > 1 THEN c * slen ELSE 0 END) AS BIGINT) AS chars_dup
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_dup,
+       (FLOOR((CAST(n_dup AS DOUBLE) / n_shingles) * 1000000.0 + 0.5) / 1000000.0) AS dup_ratio,
+       (FLOOR((CAST(chars_dup AS DOUBLE) / chars_total) * 1000000.0 + 0.5) / 1000000.0) AS dup_char_ratio
+FROM agg"""
+
+
+def boilerplate_ngrams(spark: SparkSession) -> DataFrame:
+    """CROSS-doc boilerplate signal (the CCNet/C4 shared-line filter,
+    re-expressed for a line-less corpus as shared word-3-grams): an
+    n-gram is boilerplate when it appears in ≥ GREATEST(BOILERPLATE_MIN_DF,
+    CEIL(BOILERPLATE_DF_FRAC × n_docs)) distinct documents; each doc
+    reports what fraction of its shingle instances are boilerplate.
+
+    Plan: shingles → 48-bit hash (the shuffle key is a BIGINT, not the
+    n-gram text — same width cut as the dedup family) → per-(doc, h)
+    counts → doc-frequency agg on h → threshold (corpus-relative, the
+    n_docs scalar comes from a 1-row agg broadcast, no collect) →
+    inner-join doc instances to the common set, left-join back per doc.
+    Two shuffles (doc-side agg, df agg) + one join keyed on h; the
+    common set is threshold-bounded.  At 10^12 docs the df agg is the
+    canonical Zipf-skewed key — partial agg absorbs it (counts only)."""
+    from .dedup import _h48_fast, shingles
+
+    sh = shingles(spark).select(
+        "doc_id", F.expr(_h48_fast("md5(shingle)")).alias("h")
+    )
+    doc_sh = sh.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    df_tab = doc_sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = spark.table("documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    common = (
+        df_tab.join(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(BOILERPLATE_MIN_DF),
+                F.ceil(F.lit(BOILERPLATE_DF_FRAC) * F.col("n_docs")),
+            )
+        )
+        .select("h")
+    )
+    per_doc = doc_sh.groupBy("doc_id").agg(F.sum("c").alias("n_shingles"))
+    boiler = (
+        doc_sh.join(common, "h")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_boiler"))
+    )
+    out = per_doc.join(boiler, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        dround(F.col("n_boiler").cast("double") / F.col("n_shingles"), 6).alias(
+            "boilerplate_ratio"
+        ),
+    )
+
+
+def boilerplate_ngrams_oracle_sql() -> str:
+    from .dedup import _h48_sql, shingles_sql
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, ({_h48_sql("MD5(shingle)")}) AS h
+  FROM ({shingles_sql()}) __sh
+),
+doc_sh AS (SELECT doc_id, h, COUNT(*) AS c FROM sh GROUP BY doc_id, h),
+df_tab AS (SELECT h, COUNT(*) AS df FROM doc_sh GROUP BY h),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+common AS (
+  SELECT h FROM df_tab, nd
+  WHERE df >= GREATEST({BOILERPLATE_MIN_DF}, CEIL({BOILERPLATE_DF_FRAC} * n_docs))
+),
+per_doc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles FROM doc_sh GROUP BY doc_id),
+boiler AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_boiler
+  FROM doc_sh JOIN common USING (h) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(b.n_boiler, 0) AS n_boiler,
+       (FLOOR((CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / p.n_shingles) * 1000000.0 + 0.5) / 1000000.0) AS boilerplate_ratio
+FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (KenLM-style perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(spark: SparkSession) -> DataFrame:
+    """Per-document mean unigram surprisal over the first TOKEN_REP_CAP
+    tokens — the perplexity-filter stage of a training-data pipeline
+    (production swaps the unigram model for KenLM; the plan shape is
+    identical: corpus-model build, broadcast, per-token score, doc agg).
+    Low surprisal ⇒ stopword soup; high ⇒ rare-token noise — both tails
+    get filtered.
+
+    Determinism across engines: per-token surprisal log2(N) - log2(c) is
+    computed ONCE PER DISTINCT TOKEN on the (tiny) vocab dim and snapped
+    to integer micros; doc aggregation then sums exact BIGINTs, so the
+    result is independent of summation order (double SUM is not) and of
+    engine log2 ulp error (the snap grid is ~10 orders coarser).  The
+    vocab count agg is Zipf-hot, so it runs through skew.salted_sum; the
+    vocab side of the scoring join is a LEFT join + OOV default
+    (surprisal log2(N), i.e. count-1) — the exact shape a capped top-K
+    vocabulary needs at corpus scale, where the full token dictionary
+    would not broadcast."""
+    from .skew import salted_sum
+
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(split(text, ' '), 1, {TOKEN_REP_CAP})")
+        ).alias("token"),
+    )
+    vocab = salted_sum(toks, "token", {"c": "*"}, salt_source=F.col("doc_id"))
+    totals = vocab.agg(F.sum("c").alias("n_corpus"))
+    micros = F.floor(
+        (F.log2(F.col("n_corpus").cast("double")) - F.log2(F.col("c").cast("double")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    vocab_s = vocab.join(F.broadcast(totals)).select(
+        "token", micros.alias("micros"), "n_corpus"
+    )
+    oov = F.floor(
+        F.log2(F.col("n_corpus").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    scored = toks.join(F.broadcast(vocab_s), "token", "left").select(
+        "doc_id", F.coalesce(F.col("micros"), oov).alias("m")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("m").alias("sum_micros"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_micros",
+        dround(
+            F.col("sum_micros").cast("double") / F.lit(1000000.0) / F.col("n_tokens"),
+            6,
+        ).alias("avg_surprisal"),
+    )
+
+
+def unigram_surprisal_oracle_sql() -> str:
+    idx = ", ".join(f"({i})" for i in range(1, TOKEN_REP_CAP + 1))
+    tk = token_count_sql("d.text")
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, split_part(d.text, ' ', o.i) AS token
+  FROM documents d
+  CROSS JOIN (SELECT * FROM (VALUES {idx}) AS __pos(i)) o
+  WHERE o.i <= LEAST({tk}, {TOKEN_REP_CAP})
+),
+vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+totals AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM vocab),
+vocab_s AS (
+  SELECT token,
+         CAST(FLOOR((LOG2(CAST(n_corpus AS DOUBLE)) - LOG2(CAST(c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS micros
+  FROM vocab, totals
+),
+scored AS (
+  SELECT t.doc_id,
+         COALESCE(v.micros,
+                  (SELECT CAST(FLOOR(LOG2(CAST(n_corpus AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) FROM totals)) AS m
+  FROM toks t LEFT JOIN vocab_s v ON t.token = v.token
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(m) AS BIGINT) AS sum_micros
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_micros,
+       (FLOOR((CAST(sum_micros AS DOUBLE) / 1000000.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0) AS avg_surprisal
+FROM agg"""

@@ -1083,3 +1083,121 @@ class TestCompactBucketed:
             .toString()
         )
         assert plan_text.count("Bucketed: true") == 3
+
+
+class TestNgramQualitySignals:
+    """Round-5 additions: dup-3-gram repetition (Gopher), cross-doc
+    boilerplate n-grams (CCNet line-dedup analogue), unigram surprisal
+    (perplexity-filter proxy) — crafted-fixture exactness + invariants."""
+
+    def _with_docs(self, geo, rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pdf["lang"] = "en"
+        pdf["source"] = "crafted"
+        pdf["n_chars"] = pdf["text"].str.len()
+        old = geo.table("documents")
+        geo.createDataFrame(pdf).createOrReplaceTempView("documents")
+        return old, pdf
+
+    def test_dup_ngram_fraction_crafted(self, geo):
+        """A doc looping one phrase has dup_ratio > 0 and matches a hand
+        count; an all-distinct-shingle doc reports exactly 0; oracle
+        parity holds on the crafted frame."""
+        import duckdb
+
+        from geospatial_store_siting_spark.operators import text_ops
+        from geospatial_store_siting_spark.testing import frames_match
+
+        loop = "spam ham eggs " * 4  # 3-gram 'spam ham eggs' recurs
+        clean = " ".join(f"w{i}" for i in range(12))
+        old, pdf = self._with_docs(geo, [(1, loop.strip()), (2, clean)])
+        try:
+            out = (
+                text_ops.dup_ngram_fraction(geo)
+                .toPandas()
+                .set_index("doc_id")
+            )
+            # doc 1: 12 tokens -> 10 shingles, every rotation recurs >=2x
+            assert out.loc[1, "n_shingles"] == 10
+            assert out.loc[1, "n_dup"] == 10
+            assert out.loc[1, "dup_ratio"] == 1.0
+            assert out.loc[2, "n_dup"] == 0
+            assert out.loc[2, "dup_ratio"] == 0.0
+            con = duckdb.connect()
+            con.register("documents", pdf)
+            ok, msg = frames_match(
+                text_ops.dup_ngram_fraction(geo).toPandas(),
+                con.execute(text_ops.dup_ngram_fraction_oracle_sql()).df(),
+            )
+            assert ok, msg
+        finally:
+            old.createOrReplaceTempView("documents")
+
+    def test_boilerplate_threshold_and_ratio(self, geo):
+        """A 3-gram shared by >= BOILERPLATE_MIN_DF docs is boilerplate for
+        each of them; a doc with no shared shingles reports ratio 0 (the
+        left-join zero row survives, not dropped)."""
+        from geospatial_store_siting_spark.operators import text_ops
+
+        shared = "terms of service apply here"
+        rows = [(i, f"{shared} x{i} y{i} z{i}") for i in range(1, 4)]
+        rows.append((9, " ".join(f"u{i}" for i in range(10))))
+        old, _ = self._with_docs(geo, rows)
+        try:
+            out = (
+                text_ops.boilerplate_ngrams(geo).toPandas().set_index("doc_id")
+            )
+            # 'terms of service', 'of service apply', 'service apply here'
+            # appear in docs 1-3 (df=3 >= floor 3); suffix shingles are
+            # per-doc unique
+            for d in (1, 2, 3):
+                assert out.loc[d, "n_boiler"] == 3
+                assert 0 < out.loc[d, "boilerplate_ratio"] < 1
+            assert out.loc[9, "n_boiler"] == 0
+            assert out.loc[9, "boilerplate_ratio"] == 0.0
+        finally:
+            old.createOrReplaceTempView("documents")
+
+    def test_unigram_surprisal_exact_micros(self, geo):
+        """Fixed-point protocol exactness: per-doc mean surprisal equals a
+        numpy recomputation of floor-micro log2 terms (order-independent
+        BIGINT sums), and a rare-token doc scores above a stopword doc."""
+        import math
+
+        from geospatial_store_siting_spark.operators import text_ops
+
+        rows = [
+            (1, "the the the the"),
+            (2, "the the qwerty the"),
+        ]
+        old, _ = self._with_docs(geo, rows)
+        try:
+            out = (
+                text_ops.unigram_surprisal(geo).toPandas().set_index("doc_id")
+            )
+            # vocab: the=7, qwerty=1, N=8
+            m_the = math.floor((math.log2(8) - math.log2(7)) * 1e6 + 0.5)
+            m_q = math.floor((math.log2(8) - math.log2(1)) * 1e6 + 0.5)
+            assert out.loc[1, "sum_micros"] == 4 * m_the
+            assert out.loc[2, "sum_micros"] == 3 * m_the + m_q
+            exp2 = math.floor(((3 * m_the + m_q) / 1e6 / 4) * 1e6 + 0.5) / 1e6
+            assert out.loc[2, "avg_surprisal"] == exp2
+            assert out.loc[2, "avg_surprisal"] > out.loc[1, "avg_surprisal"]
+        finally:
+            old.createOrReplaceTempView("documents")
+
+    def test_signal_plans_stay_jvm_side(self, geo):
+        """No Python UDFs anywhere in the three signal plans (map-only
+        expressions + hash aggs; the perplexity join broadcasts the vocab
+        dim)."""
+        from geospatial_store_siting_spark.operators import text_ops
+
+        for fn in (
+            text_ops.dup_ngram_fraction,
+            text_ops.boilerplate_ngrams,
+            text_ops.unigram_surprisal,
+        ):
+            plan = fn(geo)._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
