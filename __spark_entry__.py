@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q(text_ops.chunk_documents),
         "dup_ngram_fraction": _q(text_ops.dup_ngram_fraction),
         "boilerplate_ngrams": _q(text_ops.boilerplate_ngrams),
-        "unigram_surprisal": _q(text_ops.unigram_surprisal),
+        "unigram_surprisal": _qsf(text_ops.unigram_surprisal),
         # --- deterministic corpus sampling (training-recipe ops) ---
         "sample_hash": _q(sampling.hash_sample),
         "sample_stratified": _q(sampling.stratified_sample),

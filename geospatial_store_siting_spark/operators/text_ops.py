@@ -704,7 +704,7 @@ FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id"""
 # ---------------------------------------------------------------------------
 
 
-def unigram_surprisal(spark: SparkSession) -> DataFrame:
+def unigram_surprisal(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Per-document mean unigram surprisal over the first TOKEN_REP_CAP
     tokens — the perplexity-filter stage of a training-data pipeline
     (production swaps the unigram model for KenLM; the plan shape is
@@ -721,7 +721,13 @@ def unigram_surprisal(spark: SparkSession) -> DataFrame:
     vocab side of the scoring join is a LEFT join + OOV default
     (surprisal log2(N), i.e. count-1) — the exact shape a capped top-K
     vocabulary needs at corpus scale, where the full token dictionary
-    would not broadcast."""
+    would not broadcast.
+
+    With ``sf_dir`` the scored vocab dim (token → micros) is a DURABLE
+    content-keyed stage (same posture as the MinHash signature table):
+    the LM build's corpus scan runs once per corpus, and warm scoring
+    runs scan the corpus exactly once."""
+    from .dedup import _stage_or_checkpoint
     from .skew import salted_sum
 
     docs = spark.table("documents")
@@ -741,11 +747,26 @@ def unigram_surprisal(spark: SparkSession) -> DataFrame:
     vocab_s = vocab.join(F.broadcast(totals)).select(
         "token", micros.alias("micros"), "n_corpus"
     )
+    if sf_dir:
+        vocab_s = _stage_or_checkpoint(
+            spark,
+            vocab_s,
+            "unigram_vocab",
+            f"unigram_vocab|cap={TOKEN_REP_CAP}",
+            sf_dir=sf_dir,
+            code=(unigram_surprisal,),
+        )
+    # OOV default = count-1 surprisal, log2(N).  N comes from the
+    # broadcast totals row, NOT the left-joined vocab columns — on a miss
+    # those are NULL and a vocab-derived default would be NULL too
+    # (latent until a capped vocabulary actually drops tokens).
     oov = F.floor(
         F.log2(F.col("n_corpus").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("bigint")
-    scored = toks.join(F.broadcast(vocab_s), "token", "left").select(
-        "doc_id", F.coalesce(F.col("micros"), oov).alias("m")
+    scored = (
+        toks.join(F.broadcast(totals))
+        .join(F.broadcast(vocab_s.drop("n_corpus")), "token", "left")
+        .select("doc_id", F.coalesce(F.col("micros"), oov).alias("m"))
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

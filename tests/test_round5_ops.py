@@ -1201,3 +1201,33 @@ class TestNgramQualitySignals:
         ):
             plan = fn(geo)._jdf.queryExecution().executedPlan().toString()
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_unigram_oov_default_is_log2_n(self, geo, monkeypatch):
+        """When the vocabulary is capped (production top-K shape), tokens
+        missing from the dim must score the OOV default log2(N) — not
+        NULL (the joined vocab columns are NULL on a miss, so the default
+        must come from the broadcast totals row)."""
+        import math
+
+        from geospatial_store_siting_spark.operators import skew, text_ops
+
+        rows = [(1, "the the the the"), (2, "the the qwerty the")]
+        old, _ = self._with_docs(geo, rows)
+        real = skew.salted_sum
+
+        def capped(df, key, cols, salt_source, **kw):
+            return real(df, key, cols, salt_source, **kw).filter(
+                F.col("token") != "qwerty"
+            )
+
+        monkeypatch.setattr(skew, "salted_sum", capped)
+        try:
+            out = (
+                text_ops.unigram_surprisal(geo).toPandas().set_index("doc_id")
+            )
+            # capped vocab = {the: 7}, N = 7; OOV term = log2(7) micros
+            oov = math.floor(math.log2(7) * 1e6 + 0.5)
+            assert out.loc[2, "sum_micros"] == oov  # 3 zero terms + OOV
+            assert not out["avg_surprisal"].isna().any()
+        finally:
+            old.createOrReplaceTempView("documents")
