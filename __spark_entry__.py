@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_index_assignments": _q(
             lambda s: pip.pip_join(s).select("site_id", "poly_id", "poly_zone")
         ),
+        "pip_cover_assignments": _q(pip.pip_cover_join),
         "zonal_stats": _q(zonal.zonal_stats),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
@@ -400,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_competitors": knn.knn_competitors_oracle_sql(),
         "pip_convex_zones": pip.pip_convex_join_oracle_sql(),
         "pip_index_assignments": pip.pip_assignments_oracle_sql(),
+        # the shuffle-free broadcast-cover plan must produce the exact same
+        # assignment as the ordered half-plane CASE
+        "pip_cover_assignments": pip.pip_assignments_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),

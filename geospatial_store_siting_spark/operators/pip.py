@@ -226,3 +226,184 @@ def pip_assignments_oracle_sql() -> str:
     return f"""
 SELECT site_id, CAST({pid} AS BIGINT) AS poly_id, {zone} AS poly_zone
 FROM ({hex_sql.sites_sql()}) __sites"""
+
+
+# ---------------------------------------------------------------------------
+# Polygon -> cell cover (polyfill) and the shuffle-free JVM cover join
+# ---------------------------------------------------------------------------
+#
+# The 100-TB path for PIP: pre-compute each polygon's hex-cell cover once
+# (driver-side numpy over a dim-scale polygon layer), classify every cover
+# cell as INTERIOR (hex fully inside the polygon -- membership decided by
+# the cell equi-join alone, no per-point geometry) or BOUNDARY (hex
+# intersects the polygon edge -- refine with the exact half-plane test).
+# Points then join the broadcast cover on their existing cell id; only the
+# thin boundary ring pays per-point math, and even that stays JVM-side as
+# codegen'd column arithmetic.  No mapInPandas, no shuffle, no Python in
+# the hot path -- the plan is Scan -> BroadcastHashJoin -> Project.
+
+_HEX_CORNER_ANGLES = [math.radians(30 + 60 * k) for k in range(6)]
+
+
+def _ccw(verts: np.ndarray) -> np.ndarray:
+    """Return the ring in CCW orientation (x=lon, y=lat)."""
+    y, x = verts[:, 0], verts[:, 1]
+    area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return verts if area2 >= 0 else verts[::-1]
+
+
+def _cell_corners(q: np.ndarray, r: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, 6) corner lat / lon arrays for pointy-top hexes of the lattice."""
+    from ..config import HEX_SIZE_DEG
+
+    s = HEX_SIZE_DEG[res]
+    clat = r * 1.5 * s
+    clon = (q + r / 2.0) * hexgrid.SQRT3 * s
+    sin = np.array([math.sin(a) for a in _HEX_CORNER_ANGLES])
+    cos = np.array([math.cos(a) for a in _HEX_CORNER_ANGLES])
+    return clat[:, None] + s * sin[None, :], clon[:, None] + s * cos[None, :]
+
+
+def polygon_cell_cover(polys: list[dict] | None = None, res: int | None = None) -> list[dict]:
+    """Polyfill: every res-cell whose hex intersects each (convex) polygon.
+
+    Rows: {cell, poly_id, metro, zone, priority, interior}.  ``interior``
+    means the whole hex is inside the polygon (all 6 corners pass every
+    half-plane -- sufficient because both shapes are convex); other
+    intersecting cells (separating-axis test finds no gap) are boundary.
+
+    Completeness: any point p inside P lies in a cell whose center is
+    within one circumradius of p, hence inside bbox(P) expanded by one
+    cell -- exactly the lattice rectangle enumerated here.  The reference
+    has no polyfill (it substitutes hex membership for PIP); this is the
+    H3 `polygon_to_cells` analogue over our from-scratch lattice.
+    """
+    from ..config import HEX_SIZE_DEG, RES_TRADE_AREA
+
+    if polys is None:
+        polys = synthetic_polygons()
+    res = RES_TRADE_AREA if res is None else res
+    s = HEX_SIZE_DEG[res]
+    ordered = sorted(polys, key=lambda p: (p["zone"] != "core", p["poly_id"]))
+    rows: list[dict] = []
+    for prio, p in enumerate(ordered):
+        vs = _ccw(np.asarray(p["verts"], dtype=np.float64))
+        lat_lo, lon_lo = vs.min(axis=0)
+        lat_hi, lon_hi = vs.max(axis=0)
+        # exact lattice rectangle over bbox expanded by one circumradius
+        r_lo = math.floor((lat_lo - s) / (1.5 * s)) - 1
+        r_hi = math.ceil((lat_hi + s) / (1.5 * s)) + 1
+        # q = lon/(sqrt3*s) - r/2 ; widen by the full r-range so the
+        # rectangle in (q, r) covers the sheared bbox
+        q_lo = math.floor((lon_lo - s) / (hexgrid.SQRT3 * s) - r_hi / 2.0) - 1
+        q_hi = math.ceil((lon_hi + s) / (hexgrid.SQRT3 * s) - r_lo / 2.0) + 1
+        qq, rr = np.meshgrid(np.arange(q_lo, q_hi + 1), np.arange(r_lo, r_hi + 1))
+        q, r = qq.ravel().astype(np.int64), rr.ravel().astype(np.int64)
+        clat, clon = _cell_corners(q, r, res)  # (n, 6)
+
+        # interior: every corner left of every CCW edge
+        inside_all = np.ones(len(q), dtype=bool)
+        for i in range(len(vs)):
+            y1, x1 = vs[i]
+            y2, x2 = vs[(i + 1) % len(vs)]
+            cross = (x2 - x1) * (clat - y1) - (y2 - y1) * (clon - x1)
+            inside_all &= (cross >= 0).all(axis=1)
+
+        # intersecting: separating-axis test over poly edge normals +
+        # the hex's 3 edge-normal axes (pointy-top: 30/90/150 degrees)
+        separated = np.zeros(len(q), dtype=bool)
+        axes = []
+        for i in range(len(vs)):
+            y1, x1 = vs[i]
+            y2, x2 = vs[(i + 1) % len(vs)]
+            axes.append((-(y2 - y1), x2 - x1))  # normal of edge (dx, dy)
+        for a in (30, 90, 150):
+            axes.append((math.cos(math.radians(a)), math.sin(math.radians(a))))
+        for ax, ay in axes:
+            ph = clon * ax + clat * ay  # (n, 6) hex projections
+            pp = vs[:, 1] * ax + vs[:, 0] * ay  # (m,) poly projections
+            separated |= (ph.max(axis=1) < pp.min()) | (ph.min(axis=1) > pp.max())
+        hit = ~separated
+        for cell, is_int in zip(
+            hexgrid.qr_to_cell(q[hit], r[hit], res), inside_all[hit]
+        ):
+            rows.append(
+                {
+                    "cell": int(cell),
+                    "poly_id": p["poly_id"],
+                    "metro": p["metro"],
+                    "zone": p["zone"],
+                    "priority": prio,
+                    "interior": bool(is_int),
+                }
+            )
+    return rows
+
+
+def _refine_case_sql(lat: str, lon: str, poly_key: str) -> str:
+    """CASE <poly_key> WHEN id THEN <half-plane test> ... -- the exact
+    membership test applied only to boundary-cell candidates."""
+    whens = []
+    for p in synthetic_polygons():
+        whens.append(f"WHEN {p['poly_id']} THEN {_halfplane_conds(p['verts'], lat, lon)}")
+    return f"CASE {poly_key} {' '.join(whens)} ELSE false END"
+
+
+def cover_by_cell(spark: SparkSession, res: int | None = None) -> DataFrame:
+    """The broadcast side: one row per cover cell, candidates pre-sorted by
+    priority in an array column so the probe side resolves first-match
+    without a groupBy."""
+    rows = polygon_cell_cover(res=res)
+    by_cell: dict[int, list[dict]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    packed = [
+        (
+            cell,
+            [
+                (c["priority"], c["poly_id"], c["zone"], c["interior"])
+                for c in sorted(cands, key=lambda c: c["priority"])
+            ],
+        )
+        for cell, cands in by_cell.items()
+    ]
+    return spark.createDataFrame(
+        packed,
+        schema="cell bigint, cands array<struct<priority:int,poly_id:bigint,zone:string,interior:boolean>>",
+    )
+
+
+def pip_cover_join(
+    spark: SparkSession,
+    points: DataFrame | None = None,
+    res: int | None = None,
+    cell_col: str = "h3_res8",
+) -> DataFrame:
+    """Shuffle-free PIP: points x polygons via the broadcast cell cover.
+
+    Plan: Scan -> BroadcastHashJoin(cell) -> Project.  Interior-cell hits
+    skip geometry entirely; boundary-cell candidates run the exact
+    half-plane test inside an array lambda (whole-stage codegen, no Python,
+    no Exchange).  First passing candidate in priority order wins --
+    identical semantics to ``pip_zone_case_sql``'s ordered CASE, so the
+    same oracle checks both plans.
+    """
+    pts = (
+        points
+        if points is not None
+        else spark.table("sites").select("site_id", "lat", "lon", "h3_res8")
+    )
+    cover = cover_by_cell(spark, res=res)
+    refine = _refine_case_sql("lat", "lon", "x.poly_id")
+    hit = (
+        f"filter(cands, x -> x.interior OR {refine})"
+    )
+    joined = pts.join(
+        F.broadcast(cover), pts[cell_col] == cover["cell"], "left"
+    )
+    resolved = joined.select("site_id", F.expr(f"get({hit}, 0)").alias("__hit"))
+    return resolved.select(
+        "site_id",
+        F.coalesce(F.col("__hit.poly_id"), F.lit(-1).cast("long")).alias("poly_id"),
+        F.col("__hit.zone").alias("poly_zone"),
+    )

@@ -1231,3 +1231,72 @@ class TestNgramQualitySignals:
             assert not out["avg_surprisal"].isna().any()
         finally:
             old.createOrReplaceTempView("documents")
+
+
+class TestPolygonCellCover:
+    """Polyfill + the shuffle-free broadcast cover join (pip.py)."""
+
+    def test_interior_cells_fully_inside(self):
+        """Every interior-marked cell's 6 hex corners must pass the
+        independent ray-cast — interior hits skip refinement, so a false
+        interior would mis-assign points near the boundary."""
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        rows = pip.polygon_cell_cover()
+        polys = {p["poly_id"]: np.asarray(p["verts"]) for p in pip.synthetic_polygons()}
+        interior = [r for r in rows if r["interior"]]
+        assert len(interior) > 1000
+        cells = np.array([r["cell"] for r in interior])
+        q, r_, _res = hexgrid.cell_to_qr(cells)
+        clat, clon = pip._cell_corners(q, r_, 8)
+        for i, row in enumerate(interior):
+            assert pip._ray_cast(clat[i], clon[i], polys[row["poly_id"]]).all()
+
+    def test_cover_completeness_random_interior_points(self):
+        """Any point inside a polygon must land in a cell the cover maps to
+        that polygon (convex-combination samples, strictly inside)."""
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        cover: dict[int, set] = {}
+        for r in pip.polygon_cell_cover():
+            cover.setdefault(r["cell"], set()).add(r["poly_id"])
+        rng = np.random.default_rng(11)
+        for p in pip.synthetic_polygons():
+            vs = np.asarray(p["verts"])
+            c = vs.mean(axis=0)
+            w = rng.uniform(0, 0.999, 200)
+            v = vs[rng.integers(0, 6, 200)]
+            pts = c[None, :] + (v - c[None, :]) * w[:, None]
+            cells = hexgrid.latlng_to_cell(pts[:, 0], pts[:, 1], 8)
+            assert all(p["poly_id"] in cover.get(int(cl), set()) for cl in cells)
+
+    def test_cover_join_matches_halfplane_case(self, geo):
+        """End-to-end equivalence on real sites: broadcast-cover plan ==
+        the ordered half-plane CASE (same rule the DuckDB oracle runs)."""
+        from geospatial_store_siting_spark.operators import pip
+
+        got = pip.pip_cover_join(geo)
+        pid, zone = pip.pip_zone_case_sql("lat", "lon")
+        want = geo.table("sites").select(
+            "site_id",
+            F.expr(pid).cast("long").alias("poly_id"),
+            F.expr(zone).alias("poly_zone"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_cover_join_plan_is_shuffle_free_and_jvm_only(self, geo):
+        """The scale contract: Scan -> BroadcastHashJoin -> Project. No
+        shuffle exchange, no Python/Arrow eval anywhere in the plan."""
+        from geospatial_store_siting_spark.operators import pip
+
+        plan = pip.pip_cover_join(geo)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
