@@ -63,6 +63,7 @@ def main() -> None:
         return best
 
     t_cover = run(lambda: pip.pip_cover_join(spark, points=pts))
+    t_hybrid = run(lambda: pip.pip_join_hybrid(spark, points=pts))
     t_kernel = run(
         lambda: pip.pip_join(spark, points=pts).select("site_id", "poly_id", "poly_zone")
     )
@@ -71,6 +72,8 @@ def main() -> None:
         "points": n_pts,
         "cover_join_sec": round(t_cover, 2),
         "cover_join_rows_per_sec": round(n_pts / t_cover, 1),
+        "hybrid_join_sec": round(t_hybrid, 2),
+        "hybrid_join_rows_per_sec": round(n_pts / t_hybrid, 1),
         "kernel_join_sec": round(t_kernel, 2),
         "kernel_join_rows_per_sec": round(n_pts / t_kernel, 1),
         "speedup": round(t_kernel / t_cover, 2),
@@ -90,15 +93,18 @@ def main() -> None:
             f"| JVM broadcast cover join (`pip_cover_join`) | {result['cover_join_sec']} s "
             f"| {result['cover_join_rows_per_sec']:,.0f} | Scan→BroadcastHashJoin→Project, "
             f"zero Exchange, zero Python; boundary ring refined by half-plane SQL |\n"
+            f"| hybrid: interior JVM, boundary rim via kernel (`pip_join_hybrid`, "
+            f"general polygons) | {result['hybrid_join_sec']} s "
+            f"| {result['hybrid_join_rows_per_sec']:,.0f} | only points whose first "
+            f"cover candidate is a boundary cell cross into Python (~10% of cover cells) |\n"
             f"| mapInPandas bucketed ray-cast (`pip_join`) | {result['kernel_join_sec']} s "
             f"| {result['kernel_join_rows_per_sec']:,.0f} | every point crosses the "
             f"Arrow boundary into the numpy kernel |\n\n"
-            f"**{result['speedup']}×** for keeping PIP membership JVM-side. Both plans\n"
-            f"are value-identical (one oracle, `pip_assignments_oracle_sql`). The cover\n"
-            f"join is the 100-TB default; the kernel path remains for non-convex\n"
-            f"polygon layers where the half-plane refinement doesn't apply (the cover\n"
-            f"itself still works there — only boundary-cell points would route through\n"
-            f"the kernel, interior hits stay JVM).\n"
+            f"**{result['speedup']}×** for keeping PIP membership JVM-side. All three\n"
+            f"plans are value-identical (one oracle, `pip_assignments_oracle_sql`).\n"
+            f"The cover join is the 100-TB default for convex layers (half-plane\n"
+            f"refinement is exact); the hybrid is the default for arbitrary simple\n"
+            f"polygons — interior hits stay in codegen, only the rim pays Arrow.\n"
         ),
     )
     spark.stop()

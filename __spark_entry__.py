@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s: pip.pip_join(s).select("site_id", "poly_id", "poly_zone")
         ),
         "pip_cover_assignments": _q(pip.pip_cover_join),
+        "pip_hybrid_assignments": _q(pip.pip_join_hybrid),
         "zonal_stats": _q(zonal.zonal_stats),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
@@ -404,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
         # the shuffle-free broadcast-cover plan must produce the exact same
         # assignment as the ordered half-plane CASE
         "pip_cover_assignments": pip.pip_assignments_oracle_sql(),
+        # ... and so must the hybrid (interior JVM / boundary-rim kernel) plan
+        "pip_hybrid_assignments": pip.pip_assignments_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),

@@ -131,14 +131,19 @@ def _ray_cast(lat: np.ndarray, lon: np.ndarray, verts: np.ndarray) -> np.ndarray
     return inside
 
 
-def pip_join(spark: SparkSession, points: DataFrame | None = None) -> DataFrame:
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame | None = None,
+    polys: list[dict] | None = None,
+) -> DataFrame:
     """mapInPandas PIP join: points → (point cols, poly_id, zone, metro).
 
     The index is closed over by the kernel (task-broadcast via pickled
     closure — dim-scale by construction); batches stay in Arrow.
     """
     pts = points if points is not None else spark.table("sites").select("site_id", "lat", "lon")
-    polys = synthetic_polygons()
+    if polys is None:
+        polys = synthetic_polygons()
     index = PolygonIndex(polys)
     meta = [(p["poly_id"], p["metro"], p["zone"]) for p in polys]
     base_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pts.schema.fields)
@@ -338,6 +343,185 @@ def polygon_cell_cover(polys: list[dict] | None = None, res: int | None = None) 
                 }
             )
     return rows
+
+
+def _convex_hull(verts: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull, CCW, in (lat, lon) rows (x=lon, y=lat)."""
+    pts = verts[np.lexsort((verts[:, 0], verts[:, 1]))]  # sort by lon, lat
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[1] - o[1]) * (p[0] - o[0]) - (a[0] - o[0]) * (p[1] - o[1]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def _segments_cross(
+    a_lat: np.ndarray, a_lon: np.ndarray, b_lat: np.ndarray, b_lon: np.ndarray,
+    c: tuple[float, float], d: tuple[float, float],
+) -> np.ndarray:
+    """Vectorized segment intersection: hex edges (a->b, arrays) vs one
+    polygon edge (c->d). Touching counts as crossing (conservative: a
+    touched cell is demoted from interior to boundary, never the reverse)."""
+    cy, cx = c
+    dy, dx = d
+
+    def orient(py, px, qy, qx, ry, rx):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    o1 = orient(a_lat, a_lon, b_lat, b_lon, cy, cx)
+    o2 = orient(a_lat, a_lon, b_lat, b_lon, dy, dx)
+    o3 = orient(cy, cx, dy, dx, a_lat, a_lon)
+    o4 = orient(cy, cx, dy, dx, b_lat, b_lon)
+    return (o1 * o2 <= 0) & (o3 * o4 <= 0)
+
+
+def polygon_cell_cover_general(polys: list[dict], res: int | None = None) -> list[dict]:
+    """Polyfill for ARBITRARY simple polygons (non-convex allowed).
+
+    Interior = all 6 hex corners inside (ray cast) AND no polygon edge
+    crosses any hex edge — for a simple polygon that means the hex is
+    fully contained.  Candidate cells are pruned with a separating-axis
+    test against the polygon's convex hull (sound: hex∩P ⊆ hex∩hull);
+    surviving non-interior cells are boundary — a conservative superset
+    (cells in a concavity notch route to the exact kernel and resolve to
+    no-hit there), which costs refine work, never correctness.
+    """
+    from ..config import HEX_SIZE_DEG, RES_TRADE_AREA
+
+    res = RES_TRADE_AREA if res is None else res
+    s = HEX_SIZE_DEG[res]
+    ordered = sorted(polys, key=lambda p: (p.get("zone") != "core", p["poly_id"]))
+    rows: list[dict] = []
+    for prio, p in enumerate(ordered):
+        vs = np.asarray(p["verts"], dtype=np.float64)
+        hull = _ccw(_convex_hull(vs))
+        lat_lo, lon_lo = vs.min(axis=0)
+        lat_hi, lon_hi = vs.max(axis=0)
+        r_lo = math.floor((lat_lo - s) / (1.5 * s)) - 1
+        r_hi = math.ceil((lat_hi + s) / (1.5 * s)) + 1
+        q_lo = math.floor((lon_lo - s) / (hexgrid.SQRT3 * s) - r_hi / 2.0) - 1
+        q_hi = math.ceil((lon_hi + s) / (hexgrid.SQRT3 * s) - r_lo / 2.0) + 1
+        qq, rr = np.meshgrid(np.arange(q_lo, q_hi + 1), np.arange(r_lo, r_hi + 1))
+        q, r = qq.ravel().astype(np.int64), rr.ravel().astype(np.int64)
+        clat, clon = _cell_corners(q, r, res)  # (n, 6)
+
+        # prune with hull SAT (same axes as the convex path)
+        separated = np.zeros(len(q), dtype=bool)
+        axes = []
+        for i in range(len(hull)):
+            y1, x1 = hull[i]
+            y2, x2 = hull[(i + 1) % len(hull)]
+            axes.append((-(y2 - y1), x2 - x1))
+        for a in (30, 90, 150):
+            axes.append((math.cos(math.radians(a)), math.sin(math.radians(a))))
+        for ax, ay in axes:
+            ph = clon * ax + clat * ay
+            pp = hull[:, 1] * ax + hull[:, 0] * ay
+            separated |= (ph.max(axis=1) < pp.min()) | (ph.min(axis=1) > pp.max())
+        hit = ~separated
+        q, r, clat, clon = q[hit], r[hit], clat[hit], clon[hit]
+
+        # all corners inside the actual (possibly concave) ring
+        corners_in = _ray_cast(clat.ravel(), clon.ravel(), vs).reshape(clat.shape)
+        inside_all = corners_in.all(axis=1)
+
+        # any polygon edge crossing any hex edge?
+        crossed = np.zeros(len(q), dtype=bool)
+        nxt = np.roll(np.arange(6), -1)
+        b_lat, b_lon = clat[:, nxt], clon[:, nxt]
+        for i in range(len(vs)):
+            c_v = tuple(vs[i])
+            d_v = tuple(vs[(i + 1) % len(vs)])
+            crossed |= _segments_cross(clat, clon, b_lat, b_lon, c_v, d_v).any(axis=1)
+
+        interior = inside_all & ~crossed
+        for cell, is_int in zip(hexgrid.qr_to_cell(q, r, res), interior):
+            rows.append(
+                {
+                    "cell": int(cell),
+                    "poly_id": p["poly_id"],
+                    "metro": p.get("metro"),
+                    "zone": p.get("zone"),
+                    "priority": prio,
+                    "interior": bool(is_int),
+                }
+            )
+    return rows
+
+
+def pip_join_hybrid(
+    spark: SparkSession,
+    points: DataFrame | None = None,
+    polys: list[dict] | None = None,
+    res: int | None = None,
+    cell_col: str = "h3_res8",
+) -> DataFrame:
+    """General-polygon PIP at scale: JVM for the interior, kernel for the rim.
+
+    Points whose cell's FIRST candidate (priority order) is an interior
+    cell are assigned by the broadcast join alone — no geometry, no
+    Python.  Only points in boundary cells (or cells where a boundary
+    candidate outranks the interior one) route through the exact ray-cast
+    kernel; no-cover points are no-hit by construction.  At the synthetic
+    layer's density that rim is ~10% of covered cells, so >90% of the
+    corpus never leaves whole-stage codegen while supporting arbitrary
+    simple polygons (unlike ``pip_cover_join``'s convex-only refinement).
+    """
+    pts = (
+        points
+        if points is not None
+        else spark.table("sites").select("site_id", "lat", "lon", "h3_res8")
+    )
+    if polys is None:
+        polys = synthetic_polygons()
+    ordered = sorted(polys, key=lambda p: (p.get("zone") != "core", p["poly_id"]))
+    rows = polygon_cell_cover_general(polys, res=res)
+    by_cell: dict[int, list[dict]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    packed = [
+        (
+            cell,
+            [
+                (c["priority"], c["poly_id"], c["zone"], c["interior"])
+                for c in sorted(cands, key=lambda c: c["priority"])
+            ],
+        )
+        for cell, cands in by_cell.items()
+    ]
+    cover = spark.createDataFrame(
+        packed,
+        schema="cell bigint, cands array<struct<priority:int,poly_id:bigint,zone:string,interior:boolean>>",
+    )
+    joined = pts.join(F.broadcast(cover), pts[cell_col] == cover["cell"], "left").select(
+        *pts.columns, F.col("cands")
+    )
+    decided = F.expr("cands IS NULL OR get(cands, 0).interior")
+    fast = joined.filter(decided).select(
+        "site_id",
+        F.coalesce(F.expr("get(cands, 0).poly_id"), F.lit(-1).cast("long")).alias(
+            "poly_id"
+        ),
+        F.expr("get(cands, 0).zone").alias("poly_zone"),
+    )
+    # exact kernel only for the boundary rim, with the SAME priority rule
+    # (PolygonIndex first-hit follows list order = priority order here)
+    rim = joined.filter(~decided).drop("cands")
+    slow = pip_join(spark, points=rim, polys=ordered).select(
+        "site_id", "poly_id", "poly_zone"
+    )
+    return fast.unionByName(slow)
 
 
 def _refine_case_sql(lat: str, lon: str, poly_key: str) -> str:

@@ -1300,3 +1300,93 @@ class TestPolygonCellCover:
         assert "BroadcastHashJoin" in plan
         assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestHybridPIP:
+    """General-polygon polyfill + interior-JVM/boundary-kernel hybrid."""
+
+    L_SHAPE = {
+        "poly_id": 7, "metro": None, "zone": None,
+        "verts": [(41.80, -87.70), (41.80, -87.54), (41.88, -87.54),
+                  (41.88, -87.62), (41.96, -87.62), (41.96, -87.70)],
+    }
+
+    def test_general_cover_interior_purity_nonconvex(self):
+        """Random points inside an interior-marked hex of the L-shape must
+        be inside the polygon — a hex spanning the notch with all corners
+        inside must NOT be marked interior (the edge-crossing test)."""
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        rows = pip.polygon_cell_cover_general([self.L_SHAPE])
+        ints = [r for r in rows if r["interior"]]
+        assert len(ints) > 100
+        vs = np.asarray(self.L_SHAPE["verts"])
+        cells = np.array([r["cell"] for r in ints])
+        q, r_, _ = hexgrid.cell_to_qr(cells)
+        clat, clon = pip._cell_corners(q, r_, 8)
+        rng = np.random.default_rng(5)
+        w = rng.dirichlet(np.ones(6), size=(len(ints), 20))
+        plat = (w * clat[:, None, :]).sum(axis=2).ravel()
+        plon = (w * clon[:, None, :]).sum(axis=2).ravel()
+        assert pip._ray_cast(plat, plon, vs).all()
+
+    def test_general_cover_completeness_nonconvex(self):
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        cov = {r["cell"] for r in pip.polygon_cell_cover_general([self.L_SHAPE])}
+        vs = np.asarray(self.L_SHAPE["verts"])
+        rng = np.random.default_rng(6)
+        lat = rng.uniform(41.801, 41.959, 3000)
+        lon = rng.uniform(-87.699, -87.541, 3000)
+        inside = pip._ray_cast(lat, lon, vs)
+        cells = hexgrid.latlng_to_cell(lat[inside], lon[inside], 8)
+        assert all(int(c) in cov for c in cells)
+
+    def test_hybrid_matches_raycast_on_nonconvex(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        vs = np.asarray(self.L_SHAPE["verts"])
+        rng = np.random.default_rng(8)
+        lat = rng.uniform(41.79, 41.97, 2000)
+        lon = rng.uniform(-87.71, -87.53, 2000)
+        pts = spark.createDataFrame(pd.DataFrame({
+            "site_id": np.arange(2000), "lat": lat, "lon": lon,
+            "h3_res8": hexgrid.latlng_to_cell(lat, lon, 8)}))
+        got = (
+            pip.pip_join_hybrid(spark, points=pts, polys=[self.L_SHAPE])
+            .toPandas().set_index("site_id").sort_index()
+        )
+        want = np.where(pip._ray_cast(lat, lon, vs), 7, -1)
+        assert (got["poly_id"].values == want).all()
+
+    def test_hybrid_matches_case_on_synthetic_layer(self, geo):
+        from geospatial_store_siting_spark.operators import pip
+
+        got = pip.pip_join_hybrid(geo)
+        pid, zone = pip.pip_zone_case_sql("lat", "lon")
+        want = geo.table("sites").select(
+            "site_id",
+            F.expr(pid).cast("long").alias("poly_id"),
+            F.expr(zone).alias("poly_zone"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_boundary_rim_is_small_fraction(self):
+        """The scale contract: only ~10% of cover cells (the rim) pay the
+        Python kernel; >=85% of the synthetic layer's cover is interior."""
+        from geospatial_store_siting_spark.operators import pip
+
+        rows = pip.polygon_cell_cover_general(pip.synthetic_polygons())
+        frac = sum(1 for r in rows if not r["interior"]) / len(rows)
+        assert frac < 0.15
