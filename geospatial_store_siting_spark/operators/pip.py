@@ -108,12 +108,27 @@ class PolygonIndex:
             end = np.searchsorted(sorted_cells, u, side="right")
             idx = order[start:end]
             for pi in self.buckets.get(int(u), []):
-                vs = np.asarray(self.polys[pi]["verts"], dtype=np.float64)
-                hit = _ray_cast(lat[idx], lon[idx], vs)
+                hit = _ray_cast_rings(lat[idx], lon[idx], _rings(self.polys[pi]))
                 # first polygon wins only where not already assigned
                 assignable = hit & (out[idx] == -1)
                 out[idx[assignable]] = pi
         return out
+
+
+def _rings(p: dict) -> list[np.ndarray]:
+    """Outer ring + any hole rings of a polygon record."""
+    return [np.asarray(p["verts"], dtype=np.float64)] + [
+        np.asarray(h, dtype=np.float64) for h in p.get("holes", [])
+    ]
+
+
+def _ray_cast_rings(lat: np.ndarray, lon: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd membership over a polygon with holes: XOR across rings
+    (inside the outer ring and outside every hole)."""
+    inside = np.zeros(len(np.asarray(lat)), dtype=bool)
+    for ring in rings:
+        inside ^= _ray_cast(lat, lon, ring)
+    return inside
 
 
 def _ray_cast(lat: np.ndarray, lon: np.ndarray, verts: np.ndarray) -> np.ndarray:
@@ -389,13 +404,16 @@ def _segments_cross(
 def polygon_cell_cover_general(polys: list[dict], res: int | None = None) -> list[dict]:
     """Polyfill for ARBITRARY simple polygons (non-convex allowed).
 
-    Interior = all 6 hex corners inside (ray cast) AND no polygon edge
-    crosses any hex edge — for a simple polygon that means the hex is
-    fully contained.  Candidate cells are pruned with a separating-axis
-    test against the polygon's convex hull (sound: hex∩P ⊆ hex∩hull);
+    Interior = all 6 hex corners inside (even-odd ray cast over outer +
+    hole rings) AND no ring edge crosses any hex edge AND no hole sits
+    wholly inside the hex — together that means the hex is fully
+    contained.  Candidate cells are pruned with a separating-axis test
+    against the OUTER ring's convex hull (sound: hex∩P ⊆ hex∩hull);
     surviving non-interior cells are boundary — a conservative superset
-    (cells in a concavity notch route to the exact kernel and resolve to
-    no-hit there), which costs refine work, never correctness.
+    (cells in a concavity notch or inside a hole route to the exact
+    kernel and resolve to no-hit there), which costs refine work, never
+    correctness.  Polygons may carry ``holes``: a list of interior rings
+    (census tracts with excluded enclaves, water bodies, ...).
     """
     from ..config import HEX_SIZE_DEG, RES_TRADE_AREA
 
@@ -404,7 +422,8 @@ def polygon_cell_cover_general(polys: list[dict], res: int | None = None) -> lis
     ordered = sorted(polys, key=lambda p: (p.get("zone") != "core", p["poly_id"]))
     rows: list[dict] = []
     for prio, p in enumerate(ordered):
-        vs = np.asarray(p["verts"], dtype=np.float64)
+        rings = _rings(p)
+        vs = rings[0]  # bbox/hull from the outer ring; holes lie inside it
         hull = _ccw(_convex_hull(vs))
         lat_lo, lon_lo = vs.min(axis=0)
         lat_hi, lon_hi = vs.max(axis=0)
@@ -432,20 +451,30 @@ def polygon_cell_cover_general(polys: list[dict], res: int | None = None) -> lis
         hit = ~separated
         q, r, clat, clon = q[hit], r[hit], clat[hit], clon[hit]
 
-        # all corners inside the actual (possibly concave) ring
-        corners_in = _ray_cast(clat.ravel(), clon.ravel(), vs).reshape(clat.shape)
+        # all corners inside the actual (possibly concave, holed) polygon
+        corners_in = _ray_cast_rings(clat.ravel(), clon.ravel(), rings).reshape(clat.shape)
         inside_all = corners_in.all(axis=1)
 
-        # any polygon edge crossing any hex edge?
+        # any ring edge (outer or hole) crossing any hex edge?
         crossed = np.zeros(len(q), dtype=bool)
         nxt = np.roll(np.arange(6), -1)
         b_lat, b_lon = clat[:, nxt], clon[:, nxt]
-        for i in range(len(vs)):
-            c_v = tuple(vs[i])
-            d_v = tuple(vs[(i + 1) % len(vs)])
-            crossed |= _segments_cross(clat, clon, b_lat, b_lon, c_v, d_v).any(axis=1)
+        for ring in rings:
+            for i in range(len(ring)):
+                c_v = tuple(ring[i])
+                d_v = tuple(ring[(i + 1) % len(ring)])
+                crossed |= _segments_cross(clat, clon, b_lat, b_lon, c_v, d_v).any(axis=1)
 
-        interior = inside_all & ~crossed
+        # a hole wholly inside the hex leaves no corner/crossing trace:
+        # demote any hex containing a hole vertex
+        hole_in_hex = np.zeros(len(q), dtype=bool)
+        for ring in rings[1:]:
+            for vy, vx in ring:
+                # CCW hex half-plane test (corners at angles 30+60k are CCW)
+                cross = (b_lon - clon) * (vy - clat) - (b_lat - clat) * (vx - clon)
+                hole_in_hex |= (cross >= 0).all(axis=1)
+
+        interior = inside_all & ~crossed & ~hole_in_hex
         for cell, is_int in zip(hexgrid.qr_to_cell(q, r, res), interior):
             rows.append(
                 {

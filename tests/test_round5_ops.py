@@ -1390,3 +1390,77 @@ class TestHybridPIP:
         rows = pip.polygon_cell_cover_general(pip.synthetic_polygons())
         frac = sum(1 for r in rows if not r["interior"]) / len(rows)
         assert frac < 0.15
+
+
+class TestPIPHoles:
+    """Polygon-with-holes polyfill: even-odd membership across rings,
+    hole edges demote crossed hexes, and a hole wholly inside one hex
+    (no corner/crossing trace) still demotes that hex to boundary."""
+
+    DONUT = {
+        "poly_id": 3, "metro": None, "zone": None,
+        "verts": [(41.80, -87.70), (41.80, -87.54), (41.96, -87.54), (41.96, -87.70)],
+        "holes": [[(41.85, -87.65), (41.85, -87.59), (41.91, -87.59), (41.91, -87.65)]],
+    }
+
+    def test_donut_interior_purity_and_completeness(self):
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        rows = pip.polygon_cell_cover_general([self.DONUT])
+        rings = pip._rings(self.DONUT)
+        ints = [r for r in rows if r["interior"]]
+        assert len(ints) > 100
+        cells = np.array([r["cell"] for r in ints])
+        q, r_, _ = hexgrid.cell_to_qr(cells)
+        clat, clon = pip._cell_corners(q, r_, 8)
+        rng = np.random.default_rng(5)
+        w = rng.dirichlet(np.ones(6), size=(len(ints), 20))
+        plat = (w * clat[:, None, :]).sum(axis=2).ravel()
+        plon = (w * clon[:, None, :]).sum(axis=2).ravel()
+        assert pip._ray_cast_rings(plat, plon, rings).all()
+        cov = {r["cell"] for r in rows}
+        lat = rng.uniform(41.801, 41.959, 3000)
+        lon = rng.uniform(-87.699, -87.541, 3000)
+        inside = pip._ray_cast_rings(lat, lon, rings)
+        cells_in = hexgrid.latlng_to_cell(lat[inside], lon[inside], 8)
+        assert all(int(c) in cov for c in cells_in)
+
+    def test_hole_smaller_than_one_hex_demotes_it(self):
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        tiny = dict(self.DONUT, poly_id=4, holes=[[
+            (41.8801, -87.6201), (41.8801, -87.6199),
+            (41.8799, -87.6199), (41.8799, -87.6201)]])
+        rows = pip.polygon_cell_cover_general([tiny])
+        hole_cell = int(
+            hexgrid.latlng_to_cell(np.array([41.88]), np.array([-87.62]), 8)[0]
+        )
+        stat = {r["cell"]: r["interior"] for r in rows}
+        assert stat.get(hole_cell) is False  # present, demoted to boundary
+
+    def test_hybrid_matches_even_odd_on_donut(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        rings = pip._rings(self.DONUT)
+        rng = np.random.default_rng(9)
+        lat = rng.uniform(41.79, 41.97, 2000)
+        lon = rng.uniform(-87.71, -87.53, 2000)
+        pts = spark.createDataFrame(pd.DataFrame({
+            "site_id": np.arange(2000), "lat": lat, "lon": lon,
+            "h3_res8": hexgrid.latlng_to_cell(lat, lon, 8)}))
+        got = (
+            pip.pip_join_hybrid(spark, points=pts, polys=[self.DONUT])
+            .toPandas().set_index("site_id").sort_index()
+        )
+        want = np.where(pip._ray_cast_rings(lat, lon, rings), 3, -1)
+        assert (got["poly_id"].values == want).all()
