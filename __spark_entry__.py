@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pip_cover_assignments": _q(pip.pip_cover_join),
         "pip_hybrid_assignments": _q(pip.pip_join_hybrid),
+        "doc_zone_counts": _q(pip.doc_zone_counts),
         "zonal_stats": _q(zonal.zonal_stats),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_cover_assignments": pip.pip_assignments_oracle_sql(),
         # ... and so must the hybrid (interior JVM / boundary-rim kernel) plan
         "pip_hybrid_assignments": pip.pip_assignments_oracle_sql(),
+        "doc_zone_counts": pip.doc_zone_counts_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),

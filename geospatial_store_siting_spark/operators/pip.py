@@ -574,7 +574,7 @@ def cover_by_cell(spark: SparkSession, res: int | None = None) -> DataFrame:
         (
             cell,
             [
-                (c["priority"], c["poly_id"], c["zone"], c["interior"])
+                (c["priority"], c["poly_id"], c["zone"], c["metro"], c["interior"])
                 for c in sorted(cands, key=lambda c: c["priority"])
             ],
         )
@@ -582,8 +582,26 @@ def cover_by_cell(spark: SparkSession, res: int | None = None) -> DataFrame:
     ]
     return spark.createDataFrame(
         packed,
-        schema="cell bigint, cands array<struct<priority:int,poly_id:bigint,zone:string,interior:boolean>>",
+        schema=(
+            "cell bigint, cands array<struct<priority:int,poly_id:bigint,"
+            "zone:string,metro:string,interior:boolean>>"
+        ),
     )
+
+
+def _resolve_cover_hit(
+    spark: SparkSession,
+    pts: DataFrame,
+    keys: list[str],
+    res: int | None = None,
+    cell_col: str = "h3_res8",
+) -> DataFrame:
+    """keys + the first accepted cover candidate (null struct = no hit)."""
+    cover = cover_by_cell(spark, res=res)
+    refine = _refine_case_sql("lat", "lon", "x.poly_id")
+    hit = f"filter(cands, x -> x.interior OR {refine})"
+    joined = pts.join(F.broadcast(cover), pts[cell_col] == cover["cell"], "left")
+    return joined.select(*keys, F.expr(f"get({hit}, 0)").alias("__hit"))
 
 
 def pip_cover_join(
@@ -606,17 +624,66 @@ def pip_cover_join(
         if points is not None
         else spark.table("sites").select("site_id", "lat", "lon", "h3_res8")
     )
-    cover = cover_by_cell(spark, res=res)
-    refine = _refine_case_sql("lat", "lon", "x.poly_id")
-    hit = (
-        f"filter(cands, x -> x.interior OR {refine})"
-    )
-    joined = pts.join(
-        F.broadcast(cover), pts[cell_col] == cover["cell"], "left"
-    )
-    resolved = joined.select("site_id", F.expr(f"get({hit}, 0)").alias("__hit"))
+    resolved = _resolve_cover_hit(spark, pts, ["site_id"], res=res, cell_col=cell_col)
     return resolved.select(
         "site_id",
         F.coalesce(F.col("__hit.poly_id"), F.lit(-1).cast("long")).alias("poly_id"),
         F.col("__hit.zone").alias("poly_zone"),
     )
+
+
+def doc_zone_counts(spark: SparkSession) -> DataFrame:
+    """Corpus x boundary layer: geotagged document spans assigned to trade
+    zones via the broadcast cell cover, rolled up per (metro, zone).
+
+    The interleaved-docs side of the north star meets the PIP side: span
+    extraction already attaches the res-8 hex_id, so zone assignment is
+    the same shuffle-free broadcast cover join the sites use -- the only
+    shuffle in this plan is the final rollup's hash agg.
+    """
+    from ..sources.documents import geotagged_spans
+
+    g = geotagged_spans(spark)
+    pts = g.select("doc_id", "lat", "lon", F.col("hex_id").alias("h3_res8"))
+    resolved = _resolve_cover_hit(spark, pts, ["doc_id"])
+    return (
+        resolved.filter(F.col("__hit").isNotNull())
+        .select(
+            "doc_id",
+            F.col("__hit.metro").alias("metro"),
+            F.col("__hit.zone").alias("zone"),
+        )
+        .groupBy("metro", "zone")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+
+
+def _pip_field_case_sql(lat: str, lon: str, field: str) -> str:
+    """First-match CASE emitting a polygon attribute (zone/metro)."""
+    polys = synthetic_polygons()
+    ordered = sorted(polys, key=lambda p: (p["zone"] != "core", p["poly_id"]))
+    whens = [
+        f"WHEN {_halfplane_conds(p['verts'], lat, lon)} THEN '{p[field]}'"
+        for p in ordered
+    ]
+    return f"CASE {' '.join(whens)} ELSE NULL END"
+
+
+def doc_zone_counts_oracle_sql() -> str:
+    from ..sources.documents import geotagged_spans_oracle_sql
+
+    zone = _pip_field_case_sql("lat", "lon", "zone")
+    metro = _pip_field_case_sql("lat", "lon", "metro")
+    return f"""
+SELECT metro, zone,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM (
+  SELECT doc_id, {metro} AS metro, {zone} AS zone
+  FROM ({geotagged_spans_oracle_sql()}) __g
+) __assigned
+WHERE zone IS NOT NULL
+GROUP BY 1, 2"""
