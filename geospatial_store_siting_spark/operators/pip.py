@@ -516,23 +516,7 @@ def pip_join_hybrid(
         polys = synthetic_polygons()
     ordered = sorted(polys, key=lambda p: (p.get("zone") != "core", p["poly_id"]))
     rows = polygon_cell_cover_general(polys, res=res)
-    by_cell: dict[int, list[dict]] = {}
-    for r in rows:
-        by_cell.setdefault(r["cell"], []).append(r)
-    packed = [
-        (
-            cell,
-            [
-                (c["priority"], c["poly_id"], c["zone"], c["interior"])
-                for c in sorted(cands, key=lambda c: c["priority"])
-            ],
-        )
-        for cell, cands in by_cell.items()
-    ]
-    cover = spark.createDataFrame(
-        packed,
-        schema="cell bigint, cands array<struct<priority:int,poly_id:bigint,zone:string,interior:boolean>>",
-    )
+    cover = _pack_cover(spark, rows)
     joined = pts.join(F.broadcast(cover), pts[cell_col] == cover["cell"], "left").select(
         *pts.columns, F.col("cands")
     )
@@ -562,11 +546,9 @@ def _refine_case_sql(lat: str, lon: str, poly_key: str) -> str:
     return f"CASE {poly_key} {' '.join(whens)} ELSE false END"
 
 
-def cover_by_cell(spark: SparkSession, res: int | None = None) -> DataFrame:
-    """The broadcast side: one row per cover cell, candidates pre-sorted by
-    priority in an array column so the probe side resolves first-match
-    without a groupBy."""
-    rows = polygon_cell_cover(res=res)
+def _pack_cover(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """One row per cover cell, candidates pre-sorted by priority in an
+    array column so the probe side resolves first-match without a groupBy."""
     by_cell: dict[int, list[dict]] = {}
     for r in rows:
         by_cell.setdefault(r["cell"], []).append(r)
@@ -587,6 +569,11 @@ def cover_by_cell(spark: SparkSession, res: int | None = None) -> DataFrame:
             "zone:string,metro:string,interior:boolean>>"
         ),
     )
+
+
+def cover_by_cell(spark: SparkSession, res: int | None = None) -> DataFrame:
+    """The broadcast side of the convex-layer cover join."""
+    return _pack_cover(spark, polygon_cell_cover(res=res))
 
 
 def _resolve_cover_hit(
