@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_cover_assignments": _q(pip.pip_cover_join),
         "pip_hybrid_assignments": _q(pip.pip_join_hybrid),
         "doc_zone_counts": _q(pip.doc_zone_counts),
+        "pip_distributed_assignments": _q(pip.pip_cover_join_distributed),
         "zonal_stats": _q(zonal.zonal_stats),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
@@ -409,6 +410,9 @@ def oracle_sql() -> dict[str, str]:
         # ... and so must the hybrid (interior JVM / boundary-rim kernel) plan
         "pip_hybrid_assignments": pip.pip_assignments_oracle_sql(),
         "doc_zone_counts": pip.doc_zone_counts_oracle_sql(),
+        # the census-scale plan (distributed polyfill + shuffle cover join)
+        # must still produce the ordered-CASE assignment
+        "pip_distributed_assignments": pip.pip_assignments_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),

@@ -421,7 +421,10 @@ def polygon_cell_cover_general(polys: list[dict], res: int | None = None) -> lis
     s = HEX_SIZE_DEG[res]
     ordered = sorted(polys, key=lambda p: (p.get("zone") != "core", p["poly_id"]))
     rows: list[dict] = []
-    for prio, p in enumerate(ordered):
+    for i, p in enumerate(ordered):
+        # explicit priorities let the polyfill run distributed over polygon
+        # partitions (a per-batch enumerate would collide across tasks)
+        prio = p.get("priority", i)
         rings = _rings(p)
         vs = rings[0]  # bbox/hull from the outer ring; holes lie inside it
         hull = _ccw(_convex_hull(vs))
@@ -645,6 +648,180 @@ def doc_zone_counts(spark: SparkSession) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_spans"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Census-scale layers: distributed polyfill + shuffle cover join
+# ---------------------------------------------------------------------------
+#
+# The broadcast cover join above assumes a dim-scale polygon layer (the
+# cover fits one executor and the refine CASE fits one expression).  A
+# census-scale layer (10^5+ polygons, cover in the 10^8-cell range) fits
+# neither: the polyfill itself must run distributed over polygon
+# partitions, the cover join becomes a shuffle hash join on cell, and the
+# boundary-ring refinement runs as an Arrow kernel over ONLY the boundary
+# candidates (cover rows carry their ring geometry, so no second join).
+# Priority resolution is one hash agg — min(struct) per point — so the
+# whole plan is two shuffles and zero driver-side geometry.
+
+# geometry rides as a JSON string of rings (outer first, then holes):
+# deeply-nested list columns (array<array<array<double>>>) segfault this
+# environment's pyarrow->pandas input conversion inside mapInPandas, and a
+# few hundred bytes of JSON per BOUNDARY row is noise next to the ray-cast
+_COVER_GEOM_SCHEMA = (
+    "cell bigint, poly_id bigint, zone string, metro string, priority int, "
+    "interior boolean, rings_json string"
+)
+
+
+def polygons_df(spark: SparkSession, polys: list[dict] | None = None) -> DataFrame:
+    """A polygon layer as a DataFrame (the big-layer input contract):
+    (poly_id, zone, metro, priority, rings_json)."""
+    import json
+
+    if polys is None:
+        polys = synthetic_polygons()
+    ordered = sorted(polys, key=lambda p: (p.get("zone") != "core", p["poly_id"]))
+    rows = [
+        (
+            p["poly_id"],
+            p.get("zone"),
+            p.get("metro"),
+            prio,
+            json.dumps(
+                [[[float(a), float(b)] for a, b in p["verts"]]]
+                + [[[float(a), float(b)] for a, b in h] for h in p.get("holes", [])]
+            ),
+        )
+        for prio, p in enumerate(ordered)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="poly_id bigint, zone string, metro string, priority int, rings_json string",
+    )
+
+
+def polyfill_distributed(
+    spark: SparkSession, polys: DataFrame | None = None, res: int | None = None
+) -> DataFrame:
+    """Distributed polyfill: one Arrow batch of polygons in, cover cells
+    out.  Scales with |polygons| across executors — no driver geometry,
+    no broadcast.  Boundary rows carry their ring geometry so the
+    downstream refine needs no join back to the layer."""
+    pdf_in = polys if polys is not None else polygons_df(spark)
+
+    def kernel(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            raw = {}
+            for row in pdf.itertuples():
+                rings = json.loads(row.rings_json)
+                raw[int(row.poly_id)] = row.rings_json
+                recs.append(
+                    {
+                        "poly_id": int(row.poly_id),
+                        "zone": row.zone,
+                        "metro": row.metro,
+                        "priority": int(row.priority),
+                        "verts": [tuple(v) for v in rings[0]],
+                        "holes": [[tuple(v) for v in h] for h in rings[1:]],
+                    }
+                )
+            cov = polygon_cell_cover_general(recs, res=res)
+            out = pd.DataFrame.from_records(cov) if cov else pd.DataFrame(
+                columns=["cell", "poly_id", "metro", "zone", "priority", "interior"]
+            )
+            out["rings_json"] = [
+                None if i else raw[pid]
+                for pid, i in zip(out["poly_id"], out["interior"])
+            ]
+            yield out[
+                ["cell", "poly_id", "zone", "metro", "priority", "interior",
+                 "rings_json"]
+            ]
+
+    return pdf_in.mapInPandas(kernel, schema=_COVER_GEOM_SCHEMA)
+
+
+def pip_cover_join_distributed(
+    spark: SparkSession,
+    points: DataFrame | None = None,
+    polys: DataFrame | None = None,
+    res: int | None = None,
+    cell_col: str = "h3_res8",
+    key: str = "site_id",
+) -> DataFrame:
+    """PIP for layers too big to broadcast: shuffle cover join + Arrow
+    refine on boundary candidates only + one min(struct) resolution agg.
+
+    Plan shape: points ⇄ cover SHUFFLE_HASH join on cell (AQE handles the
+    urban-core cell skew), a mapInPandas ray-cast over ONLY the boundary
+    candidate rows (~10% of cover), then a hash agg on the point key.
+    Interior candidates and cover misses never touch Python.
+    """
+    pts = (
+        points
+        if points is not None
+        else spark.table("sites").select("site_id", "lat", "lon", "h3_res8")
+    )
+    cover = polyfill_distributed(spark, polys=polys, res=res)
+    cand = pts.join(
+        cover.hint("shuffle_hash"), pts[cell_col] == cover["cell"], "left"
+    ).select(
+        key, "lat", "lon", "poly_id", "zone", "priority", "interior", "rings_json"
+    )
+
+    easy = cand.filter(F.col("interior").isNull() | F.col("interior")).select(
+        key, "poly_id", "zone", "priority",
+        F.coalesce(F.col("interior"), F.lit(False)).alias("accepted"),
+    )
+
+    hard_in = cand.filter(~F.col("interior"))
+    refine_schema = f"{key} bigint, poly_id bigint, zone string, priority int, accepted boolean"
+
+    def refine(batches):
+        import json
+
+        for pdf in batches:
+            for pid, grp in pdf.groupby("poly_id", sort=False):
+                rings = [
+                    np.asarray(ring, dtype=np.float64)
+                    for ring in json.loads(grp.iloc[0]["rings_json"])
+                ]
+                acc = _ray_cast_rings(
+                    grp["lat"].values.astype(np.float64),
+                    grp["lon"].values.astype(np.float64),
+                    rings,
+                )
+                out = grp[[key, "poly_id", "zone", "priority"]].copy()
+                out["accepted"] = acc
+                yield out
+
+    hard = hard_in.mapInPandas(refine, schema=refine_schema)
+
+    resolved = (
+        easy.unionByName(hard)
+        .groupBy(key)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("accepted"),
+                    F.struct(
+                        F.col("priority"), F.col("poly_id"), F.col("zone")
+                    ),
+                )
+            ).alias("__hit")
+        )
+    )
+    return resolved.select(
+        key,
+        F.coalesce(F.col("__hit.poly_id"), F.lit(-1).cast("long")).alias("poly_id"),
+        F.col("__hit.zone").alias("poly_zone"),
     )
 
 

@@ -1464,3 +1464,82 @@ class TestPIPHoles:
         )
         want = np.where(pip._ray_cast_rings(lat, lon, rings), 3, -1)
         assert (got["poly_id"].values == want).all()
+
+
+class TestDistributedPIP:
+    """Census-scale PIP: distributed polyfill (mapInPandas over polygon
+    partitions) + shuffle cover join + boundary-only Arrow refine."""
+
+    def test_distributed_matches_case_on_synthetic_layer(self, geo):
+        from geospatial_store_siting_spark.operators import pip
+
+        got = pip.pip_cover_join_distributed(geo)
+        pid, zone = pip.pip_zone_case_sql("lat", "lon")
+        want = geo.table("sites").select(
+            "site_id",
+            F.expr(pid).cast("long").alias("poly_id"),
+            F.expr(zone).alias("poly_zone"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_distributed_plan_has_no_broadcast(self, geo):
+        """The big-layer contract: neither the cover nor the layer is ever
+        broadcast or collected — the join is a shuffle hash join."""
+        from geospatial_store_siting_spark.operators import pip
+
+        plan = (
+            pip.pip_cover_join_distributed(geo)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+
+    def test_distributed_polyfill_equals_driver_polyfill(self, geo):
+        """The mapInPandas polyfill must emit the same (cell, poly_id,
+        priority, interior) set as the driver-side builder."""
+        from geospatial_store_siting_spark.operators import pip
+
+        dist = {
+            (int(r.cell), int(r.poly_id), int(r.priority), bool(r.interior))
+            for r in pip.polyfill_distributed(geo)
+            .select("cell", "poly_id", "priority", "interior")
+            .toPandas()
+            .itertuples(index=False)
+        }
+        drv = {
+            (r["cell"], r["poly_id"], r["priority"], r["interior"])
+            for r in pip.polygon_cell_cover_general(pip.synthetic_polygons())
+        }
+        assert dist == drv
+
+    def test_distributed_handles_holes(self, spark):
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip
+
+        donut = {
+            "poly_id": 3, "metro": None, "zone": None,
+            "verts": [(41.80, -87.70), (41.80, -87.54),
+                      (41.96, -87.54), (41.96, -87.70)],
+            "holes": [[(41.85, -87.65), (41.85, -87.59),
+                       (41.91, -87.59), (41.91, -87.65)]],
+        }
+        layer = pip.polygons_df(spark, [donut])
+        assert json.loads(layer.first()["rings_json"])[1]  # hole survived
+        rng = np.random.default_rng(12)
+        lat = rng.uniform(41.79, 41.97, 1500)
+        lon = rng.uniform(-87.71, -87.53, 1500)
+        pts = spark.createDataFrame(pd.DataFrame({
+            "site_id": np.arange(1500), "lat": lat, "lon": lon,
+            "h3_res8": hexgrid.latlng_to_cell(lat, lon, 8)}))
+        got = (
+            pip.pip_cover_join_distributed(spark, points=pts, polys=layer)
+            .toPandas().set_index("site_id").sort_index()
+        )
+        want = np.where(pip._ray_cast_rings(lat, lon, pip._rings(donut)), 3, -1)
+        assert (got["poly_id"].values == want).all()
