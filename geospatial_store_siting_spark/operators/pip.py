@@ -782,7 +782,10 @@ def pip_cover_join_distributed(
     )
 
     hard_in = cand.filter(~F.col("interior"))
-    refine_schema = f"{key} bigint, poly_id bigint, zone string, priority int, accepted boolean"
+    key_type = dict((f.name, f.dataType.simpleString()) for f in pts.schema.fields)[key]
+    refine_schema = (
+        f"{key} {key_type}, poly_id bigint, zone string, priority int, accepted boolean"
+    )
 
     def refine(batches):
         import json
