@@ -27,6 +27,7 @@ from geospatial_store_siting_spark.operators import (
     pip,
     quality,
     relational,
+    rings,
     sampling,
     scoring,
     similarity,
@@ -228,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q(events_ops.interval_join),
         # --- north-star geo operators: kNN / PIP / zonal / skew ---
         "knn_competitors": _q(knn.knn_competitors),
+        "cell_boundaries": _q(rings.cell_boundaries),
+        "metro_center_distance": _q(rings.metro_center_distance),
         "pip_convex_zones": _q(pip.pip_convex_join),
         "pip_index_assignments": _q(
             lambda s: pip.pip_join(s).select("site_id", "poly_id", "poly_zone")
@@ -404,6 +407,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_competitors": knn.knn_competitors_oracle_sql(),
         "pip_convex_zones": pip.pip_convex_join_oracle_sql(),
         "pip_index_assignments": pip.pip_assignments_oracle_sql(),
+        "cell_boundaries": rings.cell_boundaries_oracle_sql(),
+        "metro_center_distance": rings.metro_center_distance_oracle_sql(),
         # the shuffle-free broadcast-cover plan must produce the exact same
         # assignment as the ordered half-plane CASE
         "pip_cover_assignments": pip.pip_assignments_oracle_sql(),

@@ -25,6 +25,8 @@ distributed, closed-form codec.  k-ring sizes match the reference exactly:
 
 from __future__ import annotations
 
+import math
+
 from ..config import AXIS_OFFSET, AXIS_SHIFT, HEX_SIZE_DEG, RES_CODE_SHIFT
 
 SQRT3_OVER_3 = "0.5773502691896258"  # literal: parses to the same float64 everywhere
@@ -120,6 +122,50 @@ def centroid_sql(q: str, r: str, res: int) -> tuple[str, str]:
     lat = f"(({r}) * 1.5 * {s})"
     lon = f"((({q}) + ({r}) / 2.0) * {SQRT3} * {s})"
     return lat, lon
+
+
+def decode_qr_sql(cell: str) -> tuple[str, str]:
+    """(q, r) decode expressions from a packed cell id.
+
+    Exactness: cell < 2^53 so it is double-exact; FLOOR-division by a
+    power of two only shifts the exponent (no rounding), so the decode is
+    bit-identical in any IEEE engine — the inverse of the encode packing
+    at ``cell_id_from_qr_sql``.
+    """
+    rem = f"(({cell}) % {RES_CODE_SHIFT})"
+    q = f"(CAST(FLOOR({rem} / {AXIS_SHIFT}.0) AS BIGINT) - {AXIS_OFFSET})"
+    r = f"(({rem}) % {AXIS_SHIFT} - {AXIS_OFFSET})"
+    return q, r
+
+
+def grid_distance_sql(q1: str, r1: str, q2: str, r2: str) -> str:
+    """Hex grid distance between two axial coords (H3 grid_distance
+    analogue): (|dq| + |dr| + |dq+dr|) / 2 — pure integer arithmetic."""
+    dq = f"(({q1}) - ({q2}))"
+    dr = f"(({r1}) - ({r2}))"
+    # the sum is always even; /2.0 on ints < 2^52 is exact, CAST truncates
+    # nothing (DIV/" // " integer-division spellings differ across engines)
+    return f"CAST((ABS({dq}) + ABS({dr}) + ABS({dq} + {dr})) / 2.0 AS BIGINT)"
+
+
+# exact corner-offset literals shared with the numpy codec
+# (functions/hexgrid + operators/pip._cell_corners use math.sin/cos of the
+# same angles, so SQL corners match the kernel bit-for-bit)
+CORNER_OFFSETS = [
+    (
+        k,
+        repr(math.cos(math.radians(30 + 60 * k))),
+        repr(math.sin(math.radians(30 + 60 * k))),
+    )
+    for k in range(6)
+]
+
+
+def corner_offsets_values_sql() -> str:
+    """6-row VALUES relation (corner, ux, uy): unit offsets of the
+    pointy-top hex corners at angles 30+60k degrees."""
+    rows = ", ".join(f"({k}, {ux}, {uy})" for k, ux, uy in CORNER_OFFSETS)
+    return f"(VALUES {rows}) __corners(corner, ux, uy)"
 
 
 def ring_offsets(k: int) -> list[tuple[int, int]]:

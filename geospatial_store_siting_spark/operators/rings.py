@@ -90,3 +90,82 @@ def ring_pairs_oracle_sql(src_sql: str, k: int, id_col: str = "site_id",
         f"SELECT {cols}, {neigh} AS neighbor_h3 "
         f"FROM ({src_sql}) p CROSS JOIN {hex_sql.ring_offsets_values_sql(k)} o"
     )
+
+
+# ---------------------------------------------------------------------------
+# H3-parity cell geometry APIs: cell_to_boundary and grid_distance
+# ---------------------------------------------------------------------------
+
+def _cell_boundary_sql(src_sql: str) -> str:
+    """Shared Spark/DuckDB SQL: distinct cells of ``src`` × the 6-corner
+    offsets relation → one row per (cell, corner) with exact coordinates.
+
+    H3 ``cell_to_boundary`` analogue over the from-scratch lattice; the
+    corner offsets are the same sin/cos literals the numpy codec uses
+    (``pip._cell_corners``), so all three formulations agree bit-for-bit.
+    """
+    from ..config import HEX_SIZE_DEG, RES_TRADE_AREA
+
+    # every literal CAST to DOUBLE: bare decimal literals parse as DECIMAL
+    # in Spark SQL (exact-decimal arithmetic, 1-ulp off the IEEE path
+    # DuckDB and the numpy codec take); op order mirrors _cell_corners
+    s = f"CAST({HEX_SIZE_DEG[RES_TRADE_AREA]!r} AS DOUBLE)"
+    sqrt3 = f"CAST({hex_sql.SQRT3} AS DOUBLE)"
+    clat = f"(CAST(r AS DOUBLE) * CAST(1.5 AS DOUBLE) * {s})"
+    clon = f"((CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / CAST(2.0 AS DOUBLE)) * {sqrt3} * {s})"
+    return f"""
+SELECT cell_id, corner,
+       ({clat} + {s} * CAST(uy AS DOUBLE)) AS corner_lat,
+       ({clon} + {s} * CAST(ux AS DOUBLE)) AS corner_lon
+FROM (SELECT DISTINCT h3_res8 AS cell_id, q, r FROM ({src_sql}) __src) __cells
+CROSS JOIN {hex_sql.corner_offsets_values_sql()}"""
+
+
+def cell_boundaries(spark: SparkSession) -> DataFrame:
+    """Boundary polygons (6 corners) of every distinct site cell."""
+    return spark.sql(_cell_boundary_sql("SELECT h3_res8, q, r FROM sites"))
+
+
+def cell_boundaries_oracle_sql() -> str:
+    return _cell_boundary_sql(hex_sql.sites_sql())
+
+
+def _metro_center_distance_sql(src_sql: str) -> str:
+    """Shared SQL: per-site hex grid distance (ring count) from the site's
+    cell to its metro center's cell.  The site's (q, r) are RE-DERIVED from
+    the packed cell id via ``decode_qr_sql`` — exercising the decode as the
+    exact inverse of the encode in both engines — and the center cells are
+    driver-side numpy encodes inlined as literals (dim-scale constants)."""
+    import numpy as np
+
+    from ..config import METROS, RES_TRADE_AREA
+    from ..functions import hexgrid
+
+    lats = np.array([m[1] for m in METROS])
+    lons = np.array([m[2] for m in METROS])
+    cq, cr = hexgrid.latlng_to_qr(lats, lons, RES_TRADE_AREA)
+    q_case = " ".join(
+        f"WHEN '{m[0]}' THEN {int(q)}" for m, q in zip(METROS, cq)
+    )
+    r_case = " ".join(
+        f"WHEN '{m[0]}' THEN {int(r)}" for m, r in zip(METROS, cr)
+    )
+    dq, dr = hex_sql.decode_qr_sql("h3_res8")
+    dist = hex_sql.grid_distance_sql(
+        dq, dr, f"(CASE metro {q_case} END)", f"(CASE metro {r_case} END)"
+    )
+    return f"""
+SELECT site_id, metro, {dist} AS ring_steps
+FROM ({src_sql}) __sites"""
+
+
+def metro_center_distance(spark: SparkSession) -> DataFrame:
+    """H3 ``grid_distance`` analogue: ring count from each site's cell to
+    its metro center's cell — integer-exact, decode-validated."""
+    return spark.sql(
+        _metro_center_distance_sql("SELECT site_id, metro, h3_res8 FROM sites")
+    )
+
+
+def metro_center_distance_oracle_sql() -> str:
+    return _metro_center_distance_sql(hex_sql.sites_sql())

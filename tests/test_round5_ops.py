@@ -1543,3 +1543,47 @@ class TestDistributedPIP:
         )
         want = np.where(pip._ray_cast_rings(lat, lon, pip._rings(donut)), 3, -1)
         assert (got["poly_id"].values == want).all()
+
+
+class TestCellGeometryAPIs:
+    """H3-parity cell_to_boundary / grid_distance over the lattice."""
+
+    def test_boundary_matches_numpy_codec_bitwise(self, geo):
+        """SQL corners == the numpy kernel's corners exactly (same sin/cos
+        literals, same op order) — three formulations, one geometry."""
+        import numpy as np
+
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import pip, rings
+
+        pb = (
+            rings.cell_boundaries(geo).toPandas()
+            .sort_values(["cell_id", "corner"]).reset_index(drop=True)
+        )
+        cells = pb["cell_id"].unique()
+        q, r, _ = hexgrid.cell_to_qr(cells)
+        clat, clon = pip._cell_corners(q, r, 8)
+        got_lat = pb["corner_lat"].to_numpy().reshape(len(cells), 6)
+        got_lon = pb["corner_lon"].to_numpy().reshape(len(cells), 6)
+        assert (got_lat == clat).all() and (got_lon == clon).all()
+
+    def test_grid_distance_decode_roundtrip(self, geo):
+        """ring_steps re-derives (q, r) from the packed cell id — must
+        equal the distance computed from the stored axial coords."""
+        import numpy as np
+
+        from geospatial_store_siting_spark.config import METROS
+        from geospatial_store_siting_spark.functions import hexgrid
+        from geospatial_store_siting_spark.operators import rings
+
+        got = rings.metro_center_distance(geo).toPandas().set_index("site_id")
+        sites = geo.table("sites").select("site_id", "metro", "q", "r").toPandas()
+        centers = {
+            m[0]: hexgrid.latlng_to_qr(np.array([m[1]]), np.array([m[2]]), 8)
+            for m in METROS
+        }
+        for row in sites.itertuples():
+            cq, cr = centers[row.metro]
+            dq, dr = row.q - int(cq[0]), row.r - int(cr[0])
+            want = (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+            assert got.loc[row.site_id, "ring_steps"] == want
