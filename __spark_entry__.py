@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_competitors": _q(knn.knn_competitors),
         "cell_boundaries": _q(rings.cell_boundaries),
         "metro_center_distance": _q(rings.metro_center_distance),
+        "parent_rollup": _q(rings.parent_rollup),
         "pip_convex_zones": _q(pip.pip_convex_join),
         "pip_index_assignments": _q(
             lambda s: pip.pip_join(s).select("site_id", "poly_id", "poly_zone")
@@ -409,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_index_assignments": pip.pip_assignments_oracle_sql(),
         "cell_boundaries": rings.cell_boundaries_oracle_sql(),
         "metro_center_distance": rings.metro_center_distance_oracle_sql(),
+        "parent_rollup": rings.parent_rollup_oracle_sql(),
         # the shuffle-free broadcast-cover plan must produce the exact same
         # assignment as the ordered half-plane CASE
         "pip_cover_assignments": pip.pip_assignments_oracle_sql(),

@@ -169,3 +169,48 @@ def metro_center_distance(spark: SparkSession) -> DataFrame:
 
 def metro_center_distance_oracle_sql() -> str:
     return _metro_center_distance_sql(hex_sql.sites_sql())
+
+
+def _parent_rollup_sql(grid_sql_src: str) -> str:
+    """Shared SQL: res-8 grid cells rolled up to their res-7 parents
+    (H3 ``cell_to_parent`` analogue: parent = encode(centroid(cell)) at
+    the coarser res — the lattice isn't subdivision-nested, so parenthood
+    is centroid re-encode, same contract as ``hexgrid.cell_to_parent``).
+
+    All-DOUBLE casts keep the centroid arithmetic on the IEEE path in
+    both engines (bare decimals parse as DECIMAL in Spark SQL)."""
+    from ..config import HEX_SIZE_DEG, RES_MARKET, RES_TRADE_AREA
+
+    s8 = f"CAST({HEX_SIZE_DEG[RES_TRADE_AREA]!r} AS DOUBLE)"
+    sqrt3 = f"CAST({hex_sql.SQRT3} AS DOUBLE)"
+    clat = f"(CAST(r AS DOUBLE) * CAST(1.5 AS DOUBLE) * {s8})"
+    clon = f"((CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / CAST(2.0 AS DOUBLE)) * {sqrt3} * {s8})"
+    inner = f"""
+SELECT cell_id, population, median_income, {clat} AS clat, {clon} AS clon
+FROM ({grid_sql_src}) __grid8"""
+    enc = hex_sql.encode_select_sql(
+        inner,
+        lat="clat",
+        lon="clon",
+        res=RES_MARKET,
+        keep_cols=["cell_id", "population", "median_income"],
+        cell_alias="parent_cell",
+    )
+    return f"""
+SELECT parent_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_children,
+       CAST(SUM(population) AS DOUBLE) AS sum_population,
+       CAST(SUM(median_income) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_income
+FROM ({enc}) __enc7
+GROUP BY parent_cell"""
+
+
+def parent_rollup(spark: SparkSession) -> DataFrame:
+    """Market-resolution rollup of the demographics grid (res 8 → res 7)."""
+    return spark.sql(
+        _parent_rollup_sql("SELECT cell_id, q, r, population, median_income FROM hex_grid")
+    )
+
+
+def parent_rollup_oracle_sql() -> str:
+    return _parent_rollup_sql(hex_sql.grid_sql())
