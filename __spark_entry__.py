@@ -31,6 +31,7 @@ from geospatial_store_siting_spark.operators import (
     sampling,
     scoring,
     similarity,
+    sketches,
     skew,
     text_ops,
     zonal,
@@ -195,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "training_corpus": _qsf(lambda s, d: dedup.training_corpus(s, sf_dir=d)),
         "decontaminate": _qsf(lambda s, d: dedup.decontaminate(s, sf_dir=d)),
+        "decontaminate_bloom": _qsf(
+            lambda s, d: sketches.decontaminate_bloom(s, sf_dir=d)
+        ),
         "dedup_incremental": _qsf(lambda s, d: dedup.dedup_incremental(s, sf_dir=d)),
         # APPROXIMATE (banded-LSH candidates, recall ≈0.85 at cosine 0.35,
         # →1 as cosine →1); the complete-baseline is _exact below.
@@ -202,6 +206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_exact": _q(
             lambda s: dedup.embedding_near_dup(s, exact=True)
         ),
+        # --- mergeable sketches (KMV / count-min; bloom above) ---
+        "kmv_distinct_users": _q(sketches.kmv_distinct_users),
+        "kmv_merged_global": _q(sketches.kmv_merged_global),
+        "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
         # --- similarity search (ANN) ---
         "ann_brute_force_topk": _q(similarity.brute_force_topk),
         "ann_lsh_topk": _q(similarity.ann_topk),
@@ -380,6 +388,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_representatives": dedup.cluster_representatives_oracle_sql(),
         "training_corpus": dedup.training_corpus_oracle_sql(),
         "decontaminate": dedup.decontaminate_oracle_sql(),
+        "decontaminate_bloom": sketches.decontaminate_bloom_oracle_sql(),
+        "kmv_distinct_users": sketches.kmv_distinct_users_oracle_sql(),
+        "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
+        "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
         "dedup_incremental": dedup.dedup_incremental_oracle_sql(),
         "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
         "ann_lsh_topk": similarity.ann_topk_oracle_sql(),
