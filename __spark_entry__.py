@@ -27,6 +27,7 @@ from geospatial_store_siting_spark.operators import (
     pip,
     quality,
     relational,
+    retrieval,
     rings,
     sampling,
     scoring,
@@ -210,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _q(sketches.kmv_distinct_users),
         "kmv_merged_global": _q(sketches.kmv_merged_global),
         "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
+        "quantile_sketch": _q(sketches.quantile_sketch_values),
+        "bm25_topk": _q(retrieval.bm25_topk),
         # --- similarity search (ANN) ---
         "ann_brute_force_topk": _q(similarity.brute_force_topk),
         "ann_lsh_topk": _q(similarity.ann_topk),
@@ -392,6 +395,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": sketches.kmv_distinct_users_oracle_sql(),
         "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
+        "quantile_sketch": sketches.quantile_sketch_values_oracle_sql(),
+        "bm25_topk": retrieval.bm25_topk_oracle_sql(),
         "dedup_incremental": dedup.dedup_incremental_oracle_sql(),
         "ann_brute_force_topk": similarity.brute_force_topk_oracle_sql(),
         "ann_lsh_topk": similarity.ann_topk_oracle_sql(),

@@ -46,6 +46,11 @@ CMS_SEED = "gss-cms"
 CMS_TOKEN_CAP = 200  # per-doc token bound, same cap as text_ops.token_repetition
 HH_MIN = 400  # exact-count floor defining "heavy" at sf0.01 (~1% of stream)
 
+# --- quantile sketch (bottom-k hash sample) ----------------------------------
+QSK_K = 256  # per-group sample rows; rel. rank error ~ 1/sqrt(k)
+QSK_SEED = "gss-qsk"
+QSK_QUANTS = (0.5, 0.9, 0.99)
+
 # --- bloom filter -------------------------------------------------------------
 BLOOM_WORDS = 512  # 63 usable bits/word (DuckDB rejects 1<<63) → m = 32 256 bits
 BLOOM_BITS = BLOOM_WORDS * 63
@@ -248,6 +253,127 @@ ex AS (
 )
 SELECT n_sketches, n_seen, {_kmv_est_sql(k)} AS est_distinct, exact_distinct
 FROM g, m, ex"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (bottom-k hash sample)
+# ---------------------------------------------------------------------------
+
+
+def _qsk_hash(fast: bool) -> str:
+    h = f"md5('{QSK_SEED}|' || CAST(event_id AS STRING))"
+    return (_h48_fast if fast else _h48_sql)(h)
+
+
+def _rank_of(q: float) -> str:
+    """Rank of the discrete q-quantile in an n-row ordered set:
+    CEIL(q·n), all-DOUBLE so both engines agree (a bare 0.5 literal
+    parses DECIMAL in Spark and mixed BIGINT·DECIMAL types diverge)."""
+    return f"CEIL(CAST({q!r} AS DOUBLE) * CAST(cnt AS DOUBLE))"
+
+
+def _qname(q: float, prefix: str) -> str:
+    return f"{prefix}p{int(round(q * 100))}"
+
+
+def _quant_agg_sql(q: float) -> str:
+    """MIN(value at/after the quantile rank) == the value AT the rank
+    when rows are ranked ascending by value — conditional-agg form that
+    needs no equality on a computed rank."""
+    return f"MIN(CASE WHEN srn >= {_rank_of(q)} THEN value END)"
+
+
+def _quant_aggs(quants: tuple[float, ...], prefix: str) -> str:
+    return ", ".join(
+        f"{_quant_agg_sql(q)} AS {_qname(q, prefix)}" for q in quants
+    )
+
+
+def quantile_sketch_values(
+    spark: SparkSession, k: int = QSK_K, quants: tuple[float, ...] = QSK_QUANTS
+) -> DataFrame:
+    """Per-event-type value quantiles (p50/p90/p99) estimated from a
+    deterministic bottom-k-by-hash row sample, next to the exact
+    order-statistic quantiles (validation columns).
+
+    The k rows with the smallest md5-derived keys ARE a uniform random
+    sample without replacement — but a reproducible one: no RNG state,
+    no partition-order dependence, and (like KMV) MERGEABLE, since the
+    global bottom-k of a union is contained in the union of per-partial
+    bottom-k sets.  The rank filter plans WindowGroupLimit, so a
+    100-TB group contributes O(k) sample state; only the exact twin
+    (small-SF validation) sorts whole groups."""
+    ev = spark.table("events").select(
+        "event_type", "value", F.expr(_qsk_hash(fast=True)).alias("hk")
+    )
+    wk = Window.partitionBy("event_type").orderBy("hk")
+    samp = (
+        ev.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "value")
+    )
+
+    def order_stats(df: DataFrame, prefix: str, n_name: str) -> DataFrame:
+        wv = Window.partitionBy("event_type").orderBy("value")
+        ranked = df.withColumn("srn", F.row_number().over(wv)).withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max("cnt").alias(n_name),
+            *[
+                F.expr(_quant_agg_sql(q)).alias(_qname(q, prefix))
+                for q in quants
+            ],
+        )
+
+    est = order_stats(samp, "est_", "n_sample")
+    exact = order_stats(ev.select("event_type", "value"), "exact_", "n_rows")
+    return est.join(exact, "event_type")
+
+
+def quantile_sketch_values_oracle_sql(
+    k: int = QSK_K, quants: tuple[float, ...] = QSK_QUANTS
+) -> str:
+    h = _qsk_hash(fast=False)
+    return f"""
+WITH ev AS (
+  SELECT event_type, value, ({h}) AS hk FROM events
+),
+samp AS (
+  SELECT event_type, value
+  FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk) AS rn
+    FROM ev
+  ) __r WHERE rn <= {k}
+),
+est_r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS srn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM samp
+),
+est AS (
+  SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_sample,
+         {_quant_aggs(quants, 'est_')}
+  FROM est_r GROUP BY event_type
+),
+ex_r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS srn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev
+),
+ex AS (
+  SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_rows,
+         {_quant_aggs(quants, 'exact_')}
+  FROM ex_r GROUP BY event_type
+)
+SELECT est.event_type, n_sample,
+       {', '.join(_qname(q, 'est_') for q in quants)},
+       n_rows,
+       {', '.join(_qname(q, 'exact_') for q in quants)}
+FROM est JOIN ex ON est.event_type = ex.event_type"""
 
 
 # ---------------------------------------------------------------------------

@@ -112,3 +112,92 @@ def test_sketch_plan_shapes(geo):
         .toString()
     )
     assert "BroadcastHashJoin" in cplan
+
+
+def test_quantile_sketch_invariants(geo):
+    rows = sketches.quantile_sketch_values(geo).collect()
+    assert rows
+    k = sketches.QSK_K
+    for r in rows:
+        assert r["n_sample"] == min(k, r["n_rows"])
+        # quantile estimates are monotone in q
+        assert r["est_p50"] <= r["est_p90"] <= r["est_p99"]
+        assert r["exact_p50"] <= r["exact_p90"] <= r["exact_p99"]
+        if r["n_rows"] <= k:
+            # full group sampled: the sketch IS exact
+            for q in (50, 90, 99):
+                assert r[f"est_p{q}"] == r[f"exact_p{q}"]
+        else:
+            # sample-quantile error ~ value-spread * O(1/sqrt(k))
+            spread = r["exact_p99"] - r["exact_p50"] or 1.0
+            for q in (50, 90):
+                assert abs(r[f"est_p{q}"] - r[f"exact_p{q}"]) < 0.5 * spread
+
+
+def test_bm25_matches_numpy_recomputation(geo):
+    import math as m
+
+    from geospatial_store_siting_spark.operators import retrieval
+
+    out = retrieval.bm25_topk(geo).collect()
+    assert 0 < len(out) <= retrieval.TOPK
+    scores = [r["score_micros"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+    # exact recomputation from raw token streams in plain Python
+    docs = geo.table("documents").select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: r["text"].split(" ")[: retrieval.TOKEN_CAP] for r in docs
+    }
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+    tf = {
+        (d, term): t.count(term)
+        for d, t in toks.items()
+        for term in retrieval.QUERY_TERMS
+        if term in t
+    }
+    df = {
+        term: sum(1 for (d2, t2) in tf if t2 == term)
+        for term in retrieval.QUERY_TERMS
+    }
+    idf_m = {
+        term: m.floor(
+            m.log(1.0 + (n - c + 0.5) / (c + 0.5)) * 1e6 + 0.5
+        )
+        for term, c in df.items()
+        if c
+    }
+    expect = {}
+    for (d, term), c in tf.items():
+        s = (
+            (idf_m[term] / 1e6)
+            * (c * (k1 + 1.0))
+            / (c + k1 * (1.0 - b + b * (dl[d] / avgdl)))
+        )
+        expect[d] = expect.get(d, 0) + m.floor(s * 1e6 + 0.5)
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[: retrieval.TOPK]
+    got = [(r["doc_id"], r["score_micros"]) for r in out]
+    assert got == top
+
+
+def test_retrieval_and_quantile_plan_shapes(geo):
+    from geospatial_store_siting_spark.operators import retrieval
+
+    qplan = (
+        sketches.quantile_sketch_values(geo)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in qplan  # bottom-k sample never full-sorts
+    bplan = (
+        retrieval.bm25_topk(geo)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-k is per-partition heaps + k-row merge, not a global sort
+    assert "TakeOrderedAndProject" in bplan
