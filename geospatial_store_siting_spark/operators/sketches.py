@@ -97,10 +97,12 @@ def _cms_bucket(seed_col: str, tok: str, fast: bool) -> str:
     return f"(({(_h48_fast if fast else _h48_sql)(h)}) % {CMS_W})"
 
 
-def _bloom_pos(seed_col: str, key: str, fast: bool) -> str:
+def _bloom_pos(
+    seed_col: str, key: str, fast: bool, bits: int = BLOOM_BITS
+) -> str:
     """Bloom bit position for hash-row ``seed_col``: h48 % m."""
     h = f"md5('{BLOOM_SEED}' || CAST({seed_col} AS STRING) || '|' || {key})"
-    return f"(({(_h48_fast if fast else _h48_sql)(h)}) % {BLOOM_BITS})"
+    return f"(({(_h48_fast if fast else _h48_sql)(h)}) % {bits})"
 
 
 # widx/bit from a bit position: FLOOR over doubles, NOT engine int division
@@ -485,7 +487,9 @@ def _splits(spark: SparkSession) -> DataFrame:
 
 
 def decontaminate_bloom(
-    spark: SparkSession, sf_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    words: int = BLOOM_WORDS,
 ) -> DataFrame:
     """Bloom-prefiltered n-gram decontamination: candidate train-split
     documents whose rare shingles hit a bloom filter built over the
@@ -504,7 +508,10 @@ def decontaminate_bloom(
     the bloom's false-positive fringe, kept visible by design.
 
     63 usable bits per word: DuckDB raises on BIGINT 1<<63, and the
-    sign bit buys nothing (position space is m = words·63 either way)."""
+    sign bit buys nothing (position space is m = words·63 either way).
+    ``words`` sizes the filter (~10-16 bits per expected eval shingle
+    keeps fp ~1%); the sf0.01 oracle default is BLOOM_WORDS, scale
+    harnesses pass a wider filter (BENCH/sketch_scale.py)."""
     from .dedup import _stage_or_checkpoint
 
     sh = _stage_or_checkpoint(
@@ -534,7 +541,7 @@ def decontaminate_bloom(
     seeds = F.explode(
         F.array(*[F.lit(s) for s in range(BLOOM_K)])
     ).alias("s")
-    pos = F.expr(_bloom_pos("s", "shingle", fast=True))
+    pos = F.expr(_bloom_pos("s", "shingle", fast=True, bits=words * 63))
     words = (
         eval_sh.select("shingle", seeds)
         .select(pos.alias("pos"))
@@ -599,13 +606,13 @@ def decontaminate_bloom(
     )
 
 
-def decontaminate_bloom_oracle_sql() -> str:
+def decontaminate_bloom_oracle_sql(words: int = BLOOM_WORDS) -> str:
     from .sampling import DEFAULT_SEED, SPLIT_BOUNDS, _u_sql
 
     lo, hi = SPLIT_BOUNDS
     u = _u_sql(seed=DEFAULT_SEED)
     idx = ", ".join(f"({s})" for s in range(BLOOM_K))
-    pos = _bloom_pos("s", "shingle", fast=False)
+    pos = _bloom_pos("s", "shingle", fast=False, bits=words * 63)
     return f"""
 WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s),
 rare AS (
