@@ -4,8 +4,9 @@ replicated corpus.
 The claim under test (operators/sketches.decontaminate_bloom docstring):
 at corpus scale the exact pass's cost center is shuffling every rare
 corpus shingle on `shingle` into the eval semi join, while the bloom
-plan probes a ~4 KB broadcast word table map-side and only the bloom-hit
-survivors reach the exact confirm join.  This harness replicates the
+plan probes a small broadcast word table map-side (~1 MB at this
+harness's width) and only the bloom-hit survivors reach the exact
+confirm join.  This harness replicates the
 documents table ×REPL (replica-suffixed tokens, the dedup_scale.py
 device: linear corpus growth, not verbatim self-similarity), runs both
 operators end-to-end on the SAME view (sf_dir=None → ad-hoc
