@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- mergeable sketches (KMV / count-min; bloom above) ---
         "kmv_distinct_users": _q(sketches.kmv_distinct_users),
         "kmv_merged_global": _q(sketches.kmv_merged_global),
+        "kmv_audience_overlap": _q(sketches.kmv_audience_overlap),
         "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
         "quantile_sketch": _q(sketches.quantile_sketch_values),
         "bm25_topk": _q(retrieval.bm25_topk),
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": sketches.decontaminate_bloom_oracle_sql(),
         "kmv_distinct_users": sketches.kmv_distinct_users_oracle_sql(),
         "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
+        "kmv_audience_overlap": sketches.kmv_audience_overlap_oracle_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
         "quantile_sketch": sketches.quantile_sketch_values_oracle_sql(),
         "bm25_topk": retrieval.bm25_topk_oracle_sql(),

@@ -258,6 +258,166 @@ FROM g, m, ex"""
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations (sketch intersection / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_pair_raws(k: int) -> tuple[str, str, str]:
+    """Raw (un-rounded) pair-estimator expressions over the columns
+    (n_seen, kth_hash, n_both) of the combined-sketch table — one text
+    evaluated by both engines so the float64 bit patterns agree.
+
+    Standard KMV set algebra (Beyer et al., SIGMOD 2007): combine two
+    bottom-k sketches by taking the k smallest of their union; the union
+    estimate is the plain KMV estimator on the combined sketch, the
+    Jaccard estimate is the fraction of combined-sketch hashes present
+    in BOTH input sketches, and |A∩B| ≈ J·|A∪B|."""
+    union_raw = _kmv_est_raw(k)
+    jacc_raw = "(CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))"
+    inter_raw = f"(({jacc_raw}) * ({union_raw}))"
+    return union_raw, jacc_raw, inter_raw
+
+
+def kmv_audience_overlap(spark: SparkSession, k: int = KMV_K) -> DataFrame:
+    """Pairwise audience overlap between event types from KMV sketches
+    alone — distinct-user union, Jaccard, and intersection estimates for
+    every type pair, next to the exact overlap (validation column).
+
+    This is the sketch property the per-type estimator can't give you:
+    set EXPRESSIONS.  Exact overlap of two 100-TB audiences is a
+    distinct-shuffle of both sides into a join; here each audience is
+    reduced once to its k smallest user-id hashes (n_types·k rows total,
+    a few KB) and every pairwise overlap is computed on sketches only —
+    the T² pair table never touches raw events.  Combine = union the two
+    k-min sets, re-take the k smallest (row_number ≤ k plans
+    WindowGroupLimit, same as kmv_distinct_users), count survivors
+    carrying both membership flags.
+
+    Deterministic by construction (md5-derived 48-bit hashes, shared
+    estimator text `_kmv_pair_raws`), so the DuckDB oracle checks values
+    bit-for-bit.  Reference scope: beyond-reference sketch family
+    (reference has no sketch operators)."""
+    d = (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.expr(_kmv_hash("user_id", fast=True)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    types = pg.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ua = pairs.join(
+        pg.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.join(
+        pg.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    # one row per (pair, hash) with membership flags for each side
+    m = (
+        ua.unionByName(ub)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = m.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
+    sk = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    du = spark.table("events").select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    union_raw, jacc_raw, inter_raw = _kmv_pair_raws(k)
+    return (
+        sk.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_seen",
+            "kth_hash",
+            "n_both",
+            dround(F.expr(union_raw), 4).alias("est_union"),
+            dround(F.expr(jacc_raw), 4).alias("est_jaccard"),
+            dround(F.expr(inter_raw), 4).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+                "exact_overlap"
+            ),
+        )
+    )
+
+
+def kmv_audience_overlap_oracle_sql(k: int = KMV_K) -> str:
+    h = _kmv_hash("user_id", fast=False)
+    union_raw, jacc_raw, inter_raw = _kmv_pair_raws(k)
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, ({h}) AS h FROM events),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+pg AS (SELECT event_type, h FROM r WHERE rn <= {k}),
+t AS (SELECT DISTINCT event_type FROM pg),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a, t b WHERE a.event_type < b.event_type
+),
+m AS (
+  SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, pg.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN pg ON pg.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, pg.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN pg ON pg.event_type = p.type_b
+  ) __m GROUP BY type_a, type_b, h
+),
+rk AS (
+  SELECT type_a, type_b, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM m
+),
+sk AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_seen,
+         MAX(h) AS kth_hash,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM rk WHERE rn <= {k} GROUP BY type_a, type_b
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT sk.type_a, sk.type_b, n_seen, kth_hash, n_both,
+       {round_sql(union_raw, 4)} AS est_union,
+       {round_sql(jacc_raw, 4)} AS est_jaccard,
+       {round_sql(inter_raw, 4)} AS est_overlap,
+       COALESCE(exact_overlap, CAST(0 AS BIGINT)) AS exact_overlap
+FROM sk LEFT JOIN ex ON sk.type_a = ex.type_a AND sk.type_b = ex.type_b"""
+
+
+# ---------------------------------------------------------------------------
 # Quantile sketch (bottom-k hash sample)
 # ---------------------------------------------------------------------------
 

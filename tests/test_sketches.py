@@ -52,6 +52,54 @@ def test_kmv_merge_is_lossless(geo):
     assert merged["est_distinct"] == expect
 
 
+def test_kmv_overlap_set_algebra(geo):
+    """Pair estimates must obey the KMV set algebra exactly: the
+    combined sketch is the k-min of the two input k-min sets, n_both
+    counts its doubly-flagged survivors, and the estimators are pure
+    functions of (n_seen, kth_hash, n_both).  Recompute all three from
+    the per-type sketches here and require equality — plus sanity vs
+    the exact overlap."""
+    k = sketches.KMV_K
+    pg = {}  # event_type -> sorted k-min hash list
+    d = (
+        geo.table("events")
+        .select(
+            "event_type",
+            F.expr(sketches._kmv_hash("user_id", fast=True)).alias("h"),
+        )
+        .distinct()
+        .collect()
+    )
+    for r in d:
+        pg.setdefault(r["event_type"], []).append(r["h"])
+    pg = {t: sorted(hs)[:k] for t, hs in pg.items()}
+    rows = sketches.kmv_audience_overlap(geo).collect()
+    assert len(rows) == len(pg) * (len(pg) - 1) // 2
+    for r in rows:
+        sa, sb = set(pg[r["type_a"]]), set(pg[r["type_b"]])
+        comb = sorted(sa | sb)[:k]
+        assert r["n_seen"] == len(comb)
+        assert r["kth_hash"] == comb[-1]
+        n_both = sum(1 for h in comb if h in sa and h in sb)
+        assert r["n_both"] == n_both
+        if r["n_seen"] < k:
+            union_est = float(r["n_seen"])
+        else:
+            union_est = (k - 1) * float(1 << 48) / comb[-1]
+        jacc = n_both / r["n_seen"]
+        for got, raw in (
+            (r["est_union"], union_est),
+            (r["est_jaccard"], jacc),
+            (r["est_overlap"], jacc * union_est),
+        ):
+            assert got == math.floor(raw * 1e4 + 0.5) / 1e4, r
+        # estimator sanity on the deterministic fixture: overlap
+        # estimate lands within the KMV error band of the exact value
+        if r["exact_overlap"]:
+            rel = abs(r["est_overlap"] / r["exact_overlap"] - 1.0)
+            assert rel < 4.0 / math.sqrt(k), (r["type_a"], r["type_b"], rel)
+
+
 def test_cms_estimates_are_one_sided(geo):
     out = sketches.cms_heavy_hitters(geo).collect()
     assert out, "no heavy hitters at this SF — lower HH_MIN"
