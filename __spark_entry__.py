@@ -22,6 +22,7 @@ from geospatial_store_siting_spark.operators import (
     events_ops,
     features,
     huff,
+    isochrone,
     knn,
     ml,
     pip,
@@ -210,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- mergeable sketches (KMV / count-min; bloom above) ---
         "kmv_distinct_users": _q(sketches.kmv_distinct_users),
         "kmv_merged_global": _q(sketches.kmv_merged_global),
+        "catchment_isochrone": _q(isochrone.catchment_reach),
+        "catchment_population": _q(isochrone.catchment_population),
         "kmv_audience_overlap": _q(sketches.kmv_audience_overlap),
         "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
         "quantile_sketch": _q(sketches.quantile_sketch_values),
@@ -395,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": sketches.decontaminate_bloom_oracle_sql(),
         "kmv_distinct_users": sketches.kmv_distinct_users_oracle_sql(),
         "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
+        "catchment_isochrone": isochrone.catchment_reach_oracle_sql(),
+        "catchment_population": isochrone.catchment_population_oracle_sql(),
         "kmv_audience_overlap": sketches.kmv_audience_overlap_oracle_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
         "quantile_sketch": sketches.quantile_sketch_values_oracle_sql(),

@@ -1,0 +1,80 @@
+"""Isochrone invariants: the distributed Bellman-Ford rounds must equal an
+independent Python DP recomputation exactly (integer costs), and the plan
+must keep the congestion dim broadcast."""
+
+from __future__ import annotations
+
+from geospatial_store_siting_spark.config import (
+    AXIS_OFFSET,
+    AXIS_SHIFT,
+    RES_CODE_SHIFT,
+)
+from geospatial_store_siting_spark.operators import isochrone
+
+
+def _cell_id(q: int, r: int, res: int = 8) -> int:
+    return (res - 6) * RES_CODE_SHIFT + (q + AXIS_OFFSET) * AXIS_SHIFT + (
+        r + AXIS_OFFSET
+    )
+
+
+def test_catchment_matches_python_dp(geo):
+    inhabited = {
+        (row.q, row.r) for row in geo.table("hex_grid").select("q", "r").collect()
+    }
+    sites = geo.table("sites").select("site_id", "q", "r").collect()
+    hops, budget = isochrone.ISO_HOPS, isochrone.ISO_BUDGET
+
+    def entry_cost(q: int, r: int) -> int:
+        base = 1 + _cell_id(q, r) % 5
+        return base + (2 if (q, r) in inhabited else 0)
+
+    expected: dict[tuple[int, int], int] = {}
+    for s in sites:
+        labels = {(s.q, s.r): 0}
+        for _ in range(hops):
+            new = dict(labels)
+            for (q, r), c in labels.items():
+                for dq, dr in isochrone.NEIGHBOR_OFFSETS:
+                    nq, nr = q + dq, r + dr
+                    nc = c + entry_cost(nq, nr)
+                    if nc <= budget and nc < new.get((nq, nr), budget + 1):
+                        new[(nq, nr)] = nc
+            labels = new
+        for (q, r), c in labels.items():
+            key = (s.site_id, _cell_id(q, r))
+            # sites can share a cell id only with themselves; keys are
+            # (site, cell) so no cross-site collisions
+            expected[key] = min(c, expected.get(key, budget + 1))
+    got = {
+        (row.site_id, row.cell_id): row.cost_min
+        for row in isochrone.catchment_reach(geo).collect()
+    }
+    assert got == expected
+
+
+def test_catchment_population_consistent_with_reach(geo):
+    reach = isochrone.catchment_reach(geo).collect()
+    per_site: dict[int, int] = {}
+    for row in reach:
+        per_site[row.site_id] = per_site.get(row.site_id, 0) + 1
+    rolled = isochrone.catchment_population(geo).collect()
+    assert {r.site_id for r in rolled} == set(per_site)
+    for r in rolled:
+        assert r.n_cells == per_site[r.site_id]
+        assert 0 <= r.n_inhabited <= r.n_cells
+        # closed-form population is ≥500 per cell
+        assert r.catchment_pop >= 500.0 * r.n_cells
+
+
+def test_catchment_plan_keeps_dim_broadcast(geo):
+    plan = (
+        isochrone.catchment_reach(geo)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only shuffles are the per-round min-agg on (site_id, cell_id):
+    # the congestion join must never sort-merge
+    assert "SortMergeJoin" not in plan
