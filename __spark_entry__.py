@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merged_global": _q(sketches.kmv_merged_global),
         "catchment_isochrone": _q(isochrone.catchment_reach),
         "catchment_population": _q(isochrone.catchment_population),
+        "greedy_site_selection": _q(isochrone.greedy_site_selection),
         "kmv_audience_overlap": _q(sketches.kmv_audience_overlap),
         "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
         "quantile_sketch": _q(sketches.quantile_sketch_values),
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
         "catchment_isochrone": isochrone.catchment_reach_oracle_sql(),
         "catchment_population": isochrone.catchment_population_oracle_sql(),
+        "greedy_site_selection": isochrone.greedy_site_selection_oracle_sql(),
         "kmv_audience_overlap": sketches.kmv_audience_overlap_oracle_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
         "quantile_sketch": sketches.quantile_sketch_values_oracle_sql(),

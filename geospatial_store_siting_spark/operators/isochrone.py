@@ -157,6 +157,73 @@ def catchment_population(
     )
 
 
+K_SELECT = 5
+
+
+def greedy_site_selection(
+    spark: SparkSession,
+    k: int = K_SELECT,
+    hops: int = ISO_HOPS,
+    budget: int = ISO_BUDGET,
+) -> DataFrame:
+    """Greedy maximal-coverage site selection: pick ``k`` candidate sites,
+    each maximizing the MARGINAL catchment population — demand in its
+    isochrone not already covered by an earlier pick (the maximal covering
+    location problem, solved greedily: the classic 1-1/e approximation).
+
+    The reference ranks candidates independently
+    (``notebooks/13_score_candidates.py``) — independent ranking happily
+    picks five adjacent corners of the same hot block.  Marginal-gain
+    selection is the portfolio answer, and it stays distributed: each of
+    the k rounds is one anti-join against the (tiny, broadcast) covered
+    cell set + one hash agg + an in-engine ``orderBy().limit(1)`` top-1;
+    only the single winning row ever reaches the driver (the
+    ``ranks.py:52`` K-tiny-rows precedent).  Gains are sums of
+    integer-valued closed-form populations — exact in float64, so
+    argmax + tiebreak (gain DESC, site_id ASC) is engine-identical and
+    the unrolled DuckDB oracle reproduces every pick bit-for-bit."""
+    pop = F.expr(hex_sql.grid_attrs_sql("cell_id")["population"])
+    cand = spark.table("sites").filter(
+        F.col("site_type") == "candidate"
+    ).select("site_id")
+    creach = (
+        catchment_reach(spark, hops, budget)
+        .join(cand, "site_id")
+        .withColumn("population", pop)
+        .select("site_id", "cell_id", "population")
+    )
+    covered = None
+    chosen: list[tuple[int, int, float]] = []
+    for rank in range(1, k + 1):
+        avail = (
+            creach
+            if covered is None
+            else creach.join(F.broadcast(covered), "cell_id", "left_anti")
+        )
+        best_rows = (
+            avail.groupBy("site_id")
+            .agg(F.sum("population").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("site_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best_rows:
+            break
+        best = best_rows[0]
+        chosen.append((rank, best["site_id"], float(best["gain"])))
+        new_cells = creach.filter(
+            F.col("site_id") == best["site_id"]
+        ).select("cell_id")
+        covered = (
+            new_cells
+            if covered is None
+            else covered.unionByName(new_cells).distinct()
+        )
+    return spark.createDataFrame(
+        chosen, "pick_rank bigint, site_id bigint, gain double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB): exhaustive path enumeration via recursive CTE
 # ---------------------------------------------------------------------------
@@ -206,6 +273,53 @@ def catchment_reach_oracle_sql(
     prelude = _reach_cte_sql(hex_sql.grid_sql(), hex_sql.sites_sql(), hops, budget)
     return f"""{prelude}
 SELECT site_id, cell_id, cost_min FROM best"""
+
+
+def greedy_site_selection_oracle_sql(
+    k: int = K_SELECT, hops: int = ISO_HOPS, budget: int = ISO_BUDGET
+) -> str:
+    """The greedy selection unrolled to k mechanical CTE stages: stage i
+    scores every candidate on cells outside covered_{i-1}, LIMIT 1 with
+    the same (gain DESC, site_id ASC) tiebreak, then folds the winner's
+    cells into covered_i.  Same reach prelude as the other oracles."""
+    prelude = _reach_cte_sql(hex_sql.grid_sql(), hex_sql.sites_sql(), hops, budget)
+    pop = hex_sql.grid_attrs_sql("cell_id")["population"]
+    stages = [
+        f"""
+cand AS (
+  SELECT site_id FROM ({hex_sql.sites_sql()}) __c WHERE site_type = 'candidate'
+),
+cr AS (
+  SELECT b.site_id, b.cell_id, {pop} AS population
+  FROM best b JOIN cand ON cand.site_id = b.site_id
+)"""
+    ]
+    for i in range(1, k + 1):
+        not_covered = (
+            ""
+            if i == 1
+            else f"WHERE cell_id NOT IN (SELECT cell_id FROM c{i - 1})"
+        )
+        stages.append(
+            f"""
+s{i} AS (
+  SELECT site_id, SUM(population) AS gain FROM cr {not_covered}
+  GROUP BY site_id
+),
+p{i} AS (
+  SELECT CAST({i} AS BIGINT) AS pick_rank, site_id, gain
+  FROM s{i} ORDER BY gain DESC, site_id LIMIT 1
+)"""
+        )
+        prior = f"SELECT cell_id FROM c{i - 1} UNION " if i > 1 else ""
+        stages.append(
+            f"""
+c{i} AS (
+  {prior}SELECT cr.cell_id FROM cr JOIN p{i} ON p{i}.site_id = cr.site_id
+)"""
+        )
+    picks = "\nUNION ALL\n".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return f"{prelude},{','.join(stages)}\n{picks}"
 
 
 def catchment_population_oracle_sql(

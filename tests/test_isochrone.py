@@ -67,6 +67,48 @@ def test_catchment_population_consistent_with_reach(geo):
         assert r.catchment_pop >= 500.0 * r.n_cells
 
 
+def test_greedy_selection_matches_python_greedy(geo):
+    """Recompute the greedy maximal-coverage selection in plain Python
+    from the (already DP-verified) reach table and require pick-for-pick
+    equality, including gains."""
+    cand = {
+        r.site_id
+        for r in geo.table("sites")
+        .filter("site_type = 'candidate'")
+        .select("site_id")
+        .collect()
+    }
+    reach: dict[int, set[int]] = {}
+    for row in isochrone.catchment_reach(geo).collect():
+        if row.site_id in cand:
+            reach.setdefault(row.site_id, set()).add(row.cell_id)
+
+    def pop(cell: int) -> float:
+        return 500.0 + (cell % 9973) % 5000
+
+    covered: set[int] = set()
+    expected = []
+    for rank in range(1, isochrone.K_SELECT + 1):
+        best = min(
+            (
+                (-sum(pop(c) for c in cells - covered), sid)
+                for sid, cells in reach.items()
+            ),
+        )
+        expected.append((rank, best[1], -best[0]))
+        covered |= reach[best[1]]
+    got = [
+        (r.pick_rank, r.site_id, r.gain)
+        for r in isochrone.greedy_site_selection(geo)
+        .orderBy("pick_rank")
+        .collect()
+    ]
+    assert got == expected
+    # marginal gains must be non-increasing (submodularity of coverage)
+    gains = [g for _, _, g in got]
+    assert gains == sorted(gains, reverse=True)
+
+
 def test_catchment_plan_keeps_dim_broadcast(geo):
     plan = (
         isochrone.catchment_reach(geo)
