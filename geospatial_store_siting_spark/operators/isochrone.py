@@ -69,16 +69,24 @@ def _offsets_values_sql() -> str:
 
 
 def catchment_reach(
-    spark: SparkSession, hops: int = ISO_HOPS, budget: int = ISO_BUDGET
+    spark: SparkSession,
+    hops: int = ISO_HOPS,
+    budget: int = ISO_BUDGET,
+    sites_df: DataFrame | None = None,
 ) -> DataFrame:
     """(site_id, cell_id, cost_min): every lattice cell reachable from the
     site within ``hops`` steps at total entry cost ≤ ``budget``, with the
-    cheapest such cost.  The site's own cell costs 0."""
+    cheapest such cost.  The site's own cell costs 0.
+
+    ``sites_df`` overrides the seed table (same columns as ``sites``) —
+    the streaming twin passes each micro-batch of arriving candidate
+    sites here; expansion is per-site, so batch = union of micro-batches
+    exactly."""
     congestion = spark.table("hex_grid").select(
         F.col("cell_id").alias("g_cell"),
         F.lit(_CONGESTION).cast("long").alias("congestion"),
     )
-    labels = spark.table("sites").select(
+    labels = (sites_df if sites_df is not None else spark.table("sites")).select(
         "site_id",
         F.col("h3_res8").alias("cell_id"),
         "q",

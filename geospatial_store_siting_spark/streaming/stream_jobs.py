@@ -527,3 +527,47 @@ def self_extending_ingest_stream(
     return spark.createDataFrame(
         rows, "doc_id bigint, status string, match_doc bigint"
     )
+
+
+def catchment_stream(spark: SparkSession, sites: DataFrame) -> DataFrame:
+    """Streaming twin of operators/isochrone.catchment_reach: candidate
+    sites arrive as a stream; each micro-batch's cost isochrones are
+    expanded per trigger against the static congestion grid.
+
+    foreachBatch rather than a streaming join: the expansion is a
+    bounded ITERATIVE loop (H Bellman-Ford rounds), not a single plan —
+    but it is per-site and reads only static dims, so the union of
+    micro-batch outputs equals the one-shot batch result row-for-row
+    (asserted by the batch-equivalence test).  No streaming state at
+    all: the production shape is "new candidates → their trade areas
+    appended to the lake per trigger".
+
+    Runs synchronously (availableNow) and returns the accumulated reach
+    rows as one DataFrame."""
+    import pandas as pd
+
+    from ..operators import isochrone
+
+    collected: list[pd.DataFrame] = []
+
+    def expand(batch_df: DataFrame, batch_id: int) -> None:
+        # micro-batch frames live in the stream's cloned session; build
+        # the expansion (and its hex_grid lookup) there
+        s = batch_df.sparkSession
+        out = isochrone.catchment_reach(s, sites_df=batch_df)
+        collected.append(out.toPandas())
+
+    q = (
+        sites.writeStream.foreachBatch(expand)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    allv = pd.concat(collected, ignore_index=True)
+    rows = [
+        (int(r.site_id), int(r.cell_id), int(r.cost_min))
+        for r in allv.itertuples()
+    ]
+    return spark.createDataFrame(
+        rows, "site_id bigint, cell_id bigint, cost_min bigint"
+    )

@@ -319,3 +319,33 @@ def test_doc_zones_stream_equals_batch(geo):
         .reset_index(drop=True)
     )
     assert out.equals(batch)
+
+
+def test_catchment_stream_equals_batch(geo, tmp_path):
+    """Union of per-trigger isochrone expansions == one-shot batch reach
+    (per-site expansion over static dims: trigger partitioning can't
+    change any cost)."""
+    from geospatial_store_siting_spark.operators import isochrone
+
+    src = str(tmp_path / "sites_stream")
+    base = geo.table("sites").select("site_id", "h3_res8", "q", "r")
+    base.repartition(3).write.mode("overwrite").parquet(src)
+    sites = (
+        geo.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = (
+        stream_jobs.catchment_stream(geo, sites)
+        .toPandas()
+        .sort_values(["site_id", "cell_id"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        isochrone.catchment_reach(geo)
+        .select("site_id", "cell_id", "cost_min")
+        .toPandas()
+        .sort_values(["site_id", "cell_id"])
+        .reset_index(drop=True)
+    )
+    assert streamed.equals(batch)
