@@ -69,6 +69,12 @@ def _dev_ring(s):
     return dev_signals.dev_signal_ring(s, 1)
 
 
+def _catchment(s):
+    from geospatial_store_siting_spark.operators import isochrone
+
+    return isochrone.catchment_reach(s)
+
+
 def _scoring_over_snapshot(s):
     """Candidate scoring the way the pipeline runs it (plans/pipeline.py):
     over the COMMITTED feature snapshot, not a from-scratch re-derivation
@@ -92,6 +98,7 @@ BENCH_QUERIES = {
     "dedup_simhash": _simhash,
     "dedup_incremental": _ingest,
     "dev_signal_ring1": _dev_ring,
+    "catchment_isochrone": _catchment,
 }
 
 

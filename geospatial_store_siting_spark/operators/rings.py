@@ -214,3 +214,169 @@ def parent_rollup(spark: SparkSession) -> DataFrame:
 
 def parent_rollup_oracle_sql() -> str:
     return _parent_rollup_sql(hex_sql.grid_sql())
+
+
+# ---------------------------------------------------------------------------
+# H3-parity hierarchy APIs: child_cells and compact_cells
+# ---------------------------------------------------------------------------
+# The lattice is not subdivision-nested (parenthood = centroid re-encode,
+# same contract as hexgrid.cell_to_parent / parent_rollup), so a parent's
+# child set is irregular — it is DERIVED, not indexed: enumerate res-8
+# candidates in a small ring around the re-encoded parent center and keep
+# those whose centroid re-encodes back to the parent.  s7/s8 = 0.012/0.0045
+# ≈ 2.67 ⇒ ~7.1 children per parent (aperture-7-like); every child center
+# lies within 0.012° of the parent center = < 2 res-8 rings, so a ring-3
+# candidate disk is exhaustive with margin (asserted by the completeness
+# test: every grid cell appears among its own parent's children).
+
+_CHILD_RING = 3
+
+
+def _centroid_double_sql(q: str, r: str, res: int) -> tuple[str, str]:
+    """Cell-centroid (lat, lon) with every literal CAST AS DOUBLE — bare
+    decimals parse as DECIMAL in Spark SQL but DOUBLE in DuckDB, and the
+    hierarchy encodes round near cell boundaries, so the un-cast
+    ``hex_sql.centroid_sql`` form diverges between engines here (same
+    pitfall `_parent_rollup_sql` documents)."""
+    from ..config import HEX_SIZE_DEG
+
+    s = f"CAST({HEX_SIZE_DEG[res]!r} AS DOUBLE)"
+    sqrt3 = f"CAST({hex_sql.SQRT3} AS DOUBLE)"
+    lat = f"(CAST({r} AS DOUBLE) * CAST(1.5 AS DOUBLE) * {s})"
+    lon = (
+        f"((CAST({q} AS DOUBLE) + CAST({r} AS DOUBLE) / CAST(2.0 AS DOUBLE))"
+        f" * {sqrt3} * {s})"
+    )
+    return lat, lon
+
+
+def _children_sql(parents_src: str) -> str:
+    """(parent_cell, child_cell) for every res-8 child of each parent in
+    ``parents_src`` (a relation exposing parent_cell) — H3 ``child_cells``
+    analogue, same text in both engines."""
+    q7, r7 = hex_sql.decode_qr_sql("parent_cell")
+    plat, plon = _centroid_double_sql(q7, r7, 7)
+    anchor = hex_sql.encode_select_sql(
+        f"SELECT parent_cell, {plat} AS plat, {plon} AS plon"
+        f" FROM ({parents_src}) __par",
+        lat="plat",
+        lon="plon",
+        res=8,
+        keep_cols=["parent_cell"],
+        cell_alias="anchor_cell",
+        q_alias="aq",
+        r_alias="ar",
+    )
+    cand = (
+        f"SELECT parent_cell, aq + dq AS cq, ar + dr AS cr"
+        f" FROM ({anchor}) __anch"
+        f" CROSS JOIN {hex_sql.ring_offsets_values_sql(_CHILD_RING)} o"
+    )
+    c8lat, c8lon = _centroid_double_sql("cq", "cr", 8)
+    checked = hex_sql.encode_select_sql(
+        f"SELECT parent_cell, cq, cr, {c8lat} AS c8lat, {c8lon} AS c8lon"
+        f" FROM ({cand}) __cand",
+        lat="c8lat",
+        lon="c8lon",
+        res=7,
+        keep_cols=["parent_cell", "cq", "cr"],
+        cell_alias="enc_parent",
+        q_alias="eq",
+        r_alias="er",
+    )
+    child = hex_sql.cell_id_from_qr_sql("cq", "cr", 8)
+    return (
+        f"SELECT parent_cell, {child} AS child_cell"
+        f" FROM ({checked}) __chk WHERE enc_parent = parent_cell"
+    )
+
+
+def _cell_children_sql(grid_src: str) -> str:
+    """child_cells over the parents of the inhabited grid."""
+    clat, clon = _centroid_double_sql("q", "r", 8)
+    par = hex_sql.encode_select_sql(
+        f"SELECT cell_id, {clat} AS c8lat, {clon} AS c8lon"
+        f" FROM ({grid_src}) __g8",
+        lat="c8lat",
+        lon="c8lon",
+        res=7,
+        keep_cols=["cell_id"],
+        cell_alias="parent_cell",
+        q_alias="pq",
+        r_alias="pr",
+    )
+    return _children_sql(f"SELECT DISTINCT parent_cell FROM ({par}) __pp")
+
+
+def cell_children(spark: SparkSession) -> DataFrame:
+    """H3 ``child_cells`` analogue: the full child set of every res-7
+    parent seen by the demographics grid.  Dim-scale generative plan: the
+    per-parent ring-candidate explode runs JVM-side over |parents| rows;
+    at any data scale this is a derived dimension, never a corpus scan."""
+    return spark.sql(_cell_children_sql("SELECT cell_id, q, r FROM hex_grid"))
+
+
+def cell_children_oracle_sql() -> str:
+    return _cell_children_sql(hex_sql.grid_sql())
+
+
+def _compact_sql(cover_src: str) -> str:
+    """H3 ``compact_cells`` analogue over a res-8 cover: parents whose
+    ENTIRE child set is present collapse to one res-7 row; all other
+    cover cells pass through at res 8.  Shared text in both engines."""
+    q8, r8 = hex_sql.decode_qr_sql("cell_id")
+    clat, clon = _centroid_double_sql(q8, r8, 8)
+    par = hex_sql.encode_select_sql(
+        f"SELECT cell_id, {clat} AS c8lat, {clon} AS c8lon FROM cov",
+        lat="c8lat",
+        lon="c8lon",
+        res=7,
+        keep_cols=["cell_id"],
+        cell_alias="parent_cell",
+        q_alias="pq",
+        r_alias="pr",
+    )
+    children = _children_sql("SELECT DISTINCT parent_cell FROM par")
+    return f"""
+WITH cov AS (SELECT DISTINCT cell_id FROM ({cover_src}) __cov),
+par AS ({par}),
+cnt AS (
+  SELECT parent_cell, CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM par GROUP BY parent_cell
+),
+ch AS (
+  SELECT parent_cell, CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM ({children}) __ch GROUP BY parent_cell
+),
+fullp AS (
+  SELECT cnt.parent_cell
+  FROM cnt JOIN ch ON ch.parent_cell = cnt.parent_cell
+  WHERE cnt.n_present = ch.n_children
+)
+SELECT parent_cell AS cell_out, 7 AS res FROM fullp
+UNION ALL
+SELECT p.cell_id AS cell_out, 8 AS res
+FROM par p LEFT JOIN fullp f ON f.parent_cell = p.parent_cell
+WHERE f.parent_cell IS NULL"""
+
+
+def _cover_values_sql() -> str:
+    """The convex-layer polyfill cover (operators/pip.polygon_cell_cover)
+    as a VALUES literal — pure deterministic Python, inlined identically
+    into both engines (the pip oracles inline the polygons the same way)."""
+    from .pip import polygon_cell_cover
+
+    cells = sorted({r["cell"] for r in polygon_cell_cover(res=8)})
+    rows = ", ".join(f"({c})" for c in cells)
+    return f"(SELECT * FROM (VALUES {rows}) AS __cv(cell_id))"
+
+
+def compact_cover(spark: SparkSession) -> DataFrame:
+    """compact_cells over the trade-zone polyfill cover: interior blocks
+    of contiguous covers collapse to res-7 cells (the H3 compact/uncompact
+    storage optimization for polygon covers)."""
+    return spark.sql(_compact_sql(_cover_values_sql()))
+
+
+def compact_cover_oracle_sql() -> str:
+    return _compact_sql(_cover_values_sql())

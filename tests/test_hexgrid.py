@@ -110,3 +110,57 @@ def test_kring_matches_sql_offsets():
     offs_np = {tuple(x) for x in hexgrid.ring_offsets(2)}
     offs_sql = set(hex_sql.ring_offsets(2))
     assert offs_np == offs_sql
+
+
+def test_child_cells_invariants(geo):
+    """Every inhabited grid cell must appear among its own parent's
+    children (catches an insufficient candidate-ring radius), and child
+    counts must track the s7²/s8² ≈ 7.1 area ratio."""
+    from geospatial_store_siting_spark.operators import rings
+
+    pairs = rings.cell_children(geo).collect()
+    children = {}
+    for row in pairs:
+        children.setdefault(row.parent_cell, set()).add(row.child_cell)
+    # completeness vs the grid's own parent assignment (parent_rollup path)
+    grid = geo.sql(
+        "SELECT cell_id, q, r FROM hex_grid"
+    ).collect()
+    from geospatial_store_siting_spark.functions import hexgrid
+    import numpy as np
+
+    cells = np.array([r.cell_id for r in grid])
+    parents = hexgrid.cell_to_parent(cells, 7)
+    for row, parent in zip(grid, parents.tolist()):
+        assert row.cell_id in children[parent], (row.cell_id, parent)
+    counts = [len(v) for v in children.values()]
+    avg = sum(counts) / len(counts)
+    assert 5.0 <= avg <= 9.0, avg
+    assert min(counts) >= 3 and max(counts) <= 12, (min(counts), max(counts))
+
+
+def test_compact_cover_roundtrip(geo):
+    """uncompact(compact(cover)) == cover, emitted parents are complete,
+    and compaction genuinely compacts (res-7 rows exist for the
+    contiguous polyfill cover)."""
+    from geospatial_store_siting_spark.operators import rings
+    from geospatial_store_siting_spark.operators.pip import polygon_cell_cover
+
+    cover = {r["cell"] for r in polygon_cell_cover(res=8)}
+    out = rings.compact_cover(geo).collect()
+    parents7 = [r.cell_out for r in out if r.res == 7]
+    cells8 = {r.cell_out for r in out if r.res == 8}
+    assert parents7, "no parent collapsed — cover should have interior blocks"
+    assert len(parents7) == len(set(parents7))
+    # expand the res-7 rows via the children enumeration and reassemble
+    vals = ", ".join(f"({c})" for c in sorted(parents7))
+    expanded = geo.sql(
+        rings._children_sql(
+            f"SELECT cell_id AS parent_cell FROM (VALUES {vals}) AS __p(cell_id)"
+        )
+    ).collect()
+    reassembled = cells8 | {r.child_cell for r in expanded}
+    assert reassembled == cover
+    # completeness: every expanded child was in the original cover
+    for row in expanded:
+        assert row.child_cell in cover
