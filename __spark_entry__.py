@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- mergeable sketches (KMV / count-min; bloom above) ---
         "kmv_distinct_users": _q(sketches.kmv_distinct_users),
         "kmv_merged_global": _q(sketches.kmv_merged_global),
+        "grid_path_cells": _q(rings.grid_path_cells),
         "cell_children": _q(rings.cell_children),
         "compact_cover": _q(rings.compact_cover),
         "catchment_isochrone": _q(isochrone.catchment_reach),
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": sketches.decontaminate_bloom_oracle_sql(),
         "kmv_distinct_users": sketches.kmv_distinct_users_oracle_sql(),
         "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
+        "grid_path_cells": rings.grid_path_cells_oracle_sql(),
         "cell_children": rings.cell_children_oracle_sql(),
         "compact_cover": rings.compact_cover_oracle_sql(),
         "catchment_isochrone": isochrone.catchment_reach_oracle_sql(),

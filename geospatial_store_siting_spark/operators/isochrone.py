@@ -52,6 +52,11 @@ ISO_HOPS = 3
 ISO_BUDGET = 10
 _CONGESTION = 2
 
+# hop counts up to this run the FLAT one-shuffle plan (exhaustive path
+# explode, ~6^H paths per site pre-prune — fine for small H); beyond it
+# the per-round min-agg loop bounds state at |reachable cells| per site
+FLAT_HOPS_LIMIT = 4
+
 # the 6 direct lattice neighbors (k=1 disk minus the center)
 NEIGHBOR_OFFSETS = [
     (dq, dr) for dq, dr in hex_sql.ring_offsets(1) if (dq, dr) != (0, 0)
@@ -81,12 +86,25 @@ def catchment_reach(
     ``sites_df`` overrides the seed table (same columns as ``sites``) —
     the streaming twin passes each micro-batch of arriving candidate
     sites here; expansion is per-site, so batch = union of micro-batches
-    exactly."""
+    exactly.
+
+    Plan dispatch (same result either way, asserted by the DP test):
+
+    - ``hops ≤ FLAT_HOPS_LIMIT`` → the FLAT plan: chain the H explode +
+      broadcast-join rounds with NO aggregation between them.  Every
+      path of a site is generated inside the site's own input partition
+      (generators and broadcast joins are map-side), so the hash
+      aggregate's partial (map-side) combine collapses the ~6^H paths
+      per site down to its ≤ reachable-cell count BEFORE the one and
+      only shuffle — one barrier instead of H, ~H× less shuffled volume.
+    - deeper budgets → the per-round min-agg loop (Bellman-Ford): path
+      count grows exponentially with H but the label state is bounded by
+      reachable cells, so each round's min-agg is the pruning step."""
     congestion = spark.table("hex_grid").select(
         F.col("cell_id").alias("g_cell"),
         F.lit(_CONGESTION).cast("long").alias("congestion"),
     )
-    labels = (sites_df if sites_df is not None else spark.table("sites")).select(
+    seeds = (sites_df if sites_df is not None else spark.table("sites")).select(
         "site_id",
         F.col("h3_res8").alias("cell_id"),
         "q",
@@ -97,8 +115,9 @@ def catchment_reach(
         f"struct({dq} as dq, {dr} as dr)" for dq, dr in NEIGHBOR_OFFSETS
     )
     offs = F.expr(f"array({items})")
-    for _ in range(hops):
-        nbrs = labels.select(
+
+    def expand(frontier: DataFrame) -> DataFrame:
+        nbrs = frontier.select(
             "site_id", "cost", "q", "r", F.explode(offs).alias("o")
         ).select(
             "site_id",
@@ -109,7 +128,7 @@ def catchment_reach(
                 F.col("q") + F.col("o.dq"), F.col("r") + F.col("o.dr")
             ).alias("cell_id"),
         )
-        step = (
+        return (
             nbrs.join(
                 F.broadcast(congestion),
                 nbrs.cell_id == congestion.g_cell,
@@ -128,8 +147,20 @@ def catchment_reach(
             )
             .filter(F.col("cost") <= budget)
         )
+
+    if hops <= FLAT_HOPS_LIMIT:
+        frontier, levels = seeds, seeds
+        for _ in range(hops):
+            frontier = expand(frontier)
+            levels = levels.unionByName(frontier)
+        return levels.groupBy("site_id", "cell_id").agg(
+            F.min("cost").alias("cost_min")
+        )
+
+    labels = seeds
+    for _ in range(hops):
         labels = (
-            labels.unionByName(step)
+            labels.unionByName(expand(labels))
             .groupBy("site_id", "cell_id")
             .agg(
                 F.min("cost").alias("cost"),

@@ -360,6 +360,112 @@ FROM par p LEFT JOIN fullp f ON f.parent_cell = p.parent_cell
 WHERE f.parent_cell IS NULL"""
 
 
+# ---------------------------------------------------------------------------
+# H3-parity grid_path: cells along the line between two cells
+# ---------------------------------------------------------------------------
+
+
+def _grid_path_sql(src_sql: str, seq_dialect: str) -> str:
+    """(site_id, step_i, path_cell): the H3 ``grid_path_cells`` analogue —
+    cells along the straight line from each site's cell to its metro
+    center's cell, one per grid-distance step (cube-lerp + round).
+
+    The lattice centroid map is LINEAR in (q, r), so the cube-space lerp
+    equals a lat/lon lerp of the endpoint centroids re-encoded at res 8 —
+    which lets the path reuse the one shared encode text
+    (``hex_sql.encode_select_sql``) instead of a second rounding kernel.
+    H3's own grid_path does the same lerp with a +eps tiebreak; ours
+    needs no eps because both engines evaluate the identical double
+    arithmetic (all literals CAST AS DOUBLE).
+
+    ``seq_dialect``: only the integer-step generator differs by engine —
+    'spark' uses ``explode(sequence(...))``, 'duckdb' uses
+    ``UNNEST(generate_series(...))`` (the fast-vs-portable hash split
+    precedent: value-identical, dialect-specific spelling).
+
+    ``src_sql`` must expose (site_id, metro, h3_res8)."""
+    import numpy as np
+
+    from ..config import METROS, RES_TRADE_AREA
+    from ..functions import hexgrid
+
+    lats = np.array([m[1] for m in METROS])
+    lons = np.array([m[2] for m in METROS])
+    cq, cr = hexgrid.latlng_to_qr(lats, lons, RES_TRADE_AREA)
+    q_case = " ".join(
+        f"WHEN '{m[0]}' THEN {int(q)}" for m, q in zip(METROS, cq)
+    )
+    r_case = " ".join(
+        f"WHEN '{m[0]}' THEN {int(r)}" for m, r in zip(METROS, cr)
+    )
+    q0, r0 = hex_sql.decode_qr_sql("h3_res8")
+    dist = hex_sql.grid_distance_sql(
+        q0, r0, f"(CASE metro {q_case} END)", f"(CASE metro {r_case} END)"
+    )
+    ends = f"""
+SELECT site_id,
+       {q0} AS q0, {r0} AS r0,
+       (CASE metro {q_case} END) AS q1,
+       (CASE metro {r_case} END) AS r1,
+       {dist} AS steps
+FROM ({src_sql}) __sites"""
+    if seq_dialect == "spark":
+        stepped = (
+            f"SELECT site_id, q0, r0, q1, r1, steps, i"
+            f" FROM ({ends}) __e"
+            f" LATERAL VIEW explode(sequence(0, steps)) AS i"
+        )
+    else:
+        stepped = (
+            f"SELECT site_id, q0, r0, q1, r1, steps,"
+            f" UNNEST(generate_series(0, steps)) AS i"
+            f" FROM ({ends}) __e"
+        )
+    # fractional axial lerp → centroid lat/lon (linear map, so this IS the
+    # cube lerp) → shared encode
+    t = (
+        "CASE WHEN steps = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE CAST(i AS DOUBLE) / CAST(steps AS DOUBLE) END"
+    )
+    qf = f"(CAST(q0 AS DOUBLE) + ({t}) * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)))"
+    rf = f"(CAST(r0 AS DOUBLE) + ({t}) * (CAST(r1 AS DOUBLE) - CAST(r0 AS DOUBLE)))"
+    plat, plon = _centroid_double_sql(qf, rf, 8)
+    lerped = (
+        f"SELECT site_id, i AS step_i, {plat} AS plat, {plon} AS plon"
+        f" FROM ({stepped}) __st"
+    )
+    enc = hex_sql.encode_select_sql(
+        lerped,
+        lat="plat",
+        lon="plon",
+        res=8,
+        keep_cols=["site_id", "step_i"],
+        cell_alias="path_cell",
+        q_alias="gq",
+        r_alias="gr",
+    )
+    return (
+        f"SELECT site_id, CAST(step_i AS BIGINT) AS step_i, path_cell"
+        f" FROM ({enc}) __path"
+    )
+
+
+def grid_path_cells(spark: SparkSession) -> DataFrame:
+    """H3 ``grid_path_cells`` analogue: the corridor of cells from each
+    site to its metro center (one cell per grid-distance step).  Fully
+    generative: a codegen sequence-explode over |sites| rows — no joins,
+    no shuffle; output is |sites| × (steps+1) rows."""
+    return spark.sql(
+        _grid_path_sql(
+            "SELECT site_id, metro, h3_res8 FROM sites", seq_dialect="spark"
+        )
+    )
+
+
+def grid_path_cells_oracle_sql() -> str:
+    return _grid_path_sql(hex_sql.sites_sql(), seq_dialect="duckdb")
+
+
 def _cover_values_sql() -> str:
     """The convex-layer polyfill cover (operators/pip.polygon_cell_cover)
     as a VALUES literal — pure deterministic Python, inlined identically

@@ -164,3 +164,43 @@ def test_compact_cover_roundtrip(geo):
     # completeness: every expanded child was in the original cover
     for row in expanded:
         assert row.child_cell in cover
+
+
+def test_grid_path_invariants(geo):
+    """H3 grid_path contract: starts at the site's cell, ends at the
+    metro center cell, emits exactly grid_distance+1 cells, and every
+    consecutive pair is lattice-adjacent."""
+    from geospatial_store_siting_spark.operators import rings
+
+    paths = {}
+    for row in rings.grid_path_cells(geo).collect():
+        paths.setdefault(row.site_id, {})[row.step_i] = row.path_cell
+    sites = {
+        r.site_id: (r.h3_res8, r.metro)
+        for r in geo.sql("SELECT site_id, h3_res8, metro FROM sites").collect()
+    }
+    dists = {
+        r.site_id: r.ring_steps
+        for r in rings.metro_center_distance(geo).collect()
+    }
+
+    def qr(cell):
+        rem = cell % (1 << 50)
+        return rem // (1 << 25) - (1 << 24), rem % (1 << 25) - (1 << 24)
+
+    assert set(paths) == set(sites)
+    for sid, steps in paths.items():
+        n = dists[sid]
+        assert sorted(steps) == list(range(n + 1)), sid
+        assert steps[0] == sites[sid][0], sid
+        for i in range(n):
+            q0, r0 = qr(steps[i])
+            q1, r1 = qr(steps[i + 1])
+            dq, dr = q1 - q0, r1 - r0
+            assert (abs(dq) + abs(dr) + abs(dq + dr)) // 2 == 1, (sid, i)
+    # all paths to the same metro converge on one center cell
+    by_metro = {}
+    for sid, steps in paths.items():
+        by_metro.setdefault(sites[sid][1], set()).add(steps[max(steps)])
+    for metro, ends in by_metro.items():
+        assert len(ends) == 1, (metro, ends)

@@ -109,6 +109,25 @@ def test_greedy_selection_matches_python_greedy(geo):
     assert gains == sorted(gains, reverse=True)
 
 
+def test_flat_and_iterative_plans_agree(geo):
+    """The one-shuffle flat plan and the per-round min-agg loop are two
+    physical strategies for the same operator — identical output."""
+    flat = {
+        (r.site_id, r.cell_id): r.cost_min
+        for r in isochrone.catchment_reach(geo).collect()
+    }
+    old = isochrone.FLAT_HOPS_LIMIT
+    isochrone.FLAT_HOPS_LIMIT = 0  # force the Bellman-Ford loop
+    try:
+        iterative = {
+            (r.site_id, r.cell_id): r.cost_min
+            for r in isochrone.catchment_reach(geo).collect()
+        }
+    finally:
+        isochrone.FLAT_HOPS_LIMIT = old
+    assert flat == iterative
+
+
 def test_catchment_plan_keeps_dim_broadcast(geo):
     plan = (
         isochrone.catchment_reach(geo)
@@ -117,6 +136,10 @@ def test_catchment_plan_keeps_dim_broadcast(geo):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
-    # the only shuffles are the per-round min-agg on (site_id, cell_id):
     # the congestion join must never sort-merge
     assert "SortMergeJoin" not in plan
+    # flat plan: the ONLY shuffle is the final (site, cell) min-agg —
+    # every expansion round is a map-side generator + broadcast join, and
+    # partial aggregation collapses per-site paths before the exchange
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected one shuffle, got {n_exchanges}:\n{plan}"
