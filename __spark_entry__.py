@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cover": _q(rings.compact_cover),
         "catchment_isochrone": _q(isochrone.catchment_reach),
         "catchment_population": _q(isochrone.catchment_population),
+        "catchment_doc_density": _q(isochrone.catchment_doc_density),
         "greedy_site_selection": _q(isochrone.greedy_site_selection),
         "kmv_audience_overlap": _q(sketches.kmv_audience_overlap),
         "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_cover": rings.compact_cover_oracle_sql(),
         "catchment_isochrone": isochrone.catchment_reach_oracle_sql(),
         "catchment_population": isochrone.catchment_population_oracle_sql(),
+        "catchment_doc_density": isochrone.catchment_doc_density_oracle_sql(),
         "greedy_site_selection": isochrone.greedy_site_selection_oracle_sql(),
         "kmv_audience_overlap": sketches.kmv_audience_overlap_oracle_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),

@@ -196,6 +196,52 @@ def catchment_population(
     )
 
 
+def catchment_doc_density(
+    spark: SparkSession, hops: int = ISO_HOPS, budget: int = ISO_BUDGET
+) -> DataFrame:
+    """Corpus × catchment composition: for each site, the geotagged
+    document spans landing inside its cost isochrone — local-content
+    density as a siting feature (and the interleaved-documents side of
+    the graft meeting the lattice side, like ``pip.doc_zone_counts``).
+
+    ``nearest_span_cost`` is the travel cost of the cheapest reached cell
+    that actually contains content.  Shuffle shape: one hash join keyed
+    on cell_id (at corpus scale the spans side is the big one and
+    arrives pre-tiled by ``documents.corpus_tile_assignments``; the reach
+    side is |sites|·cells), then one per-site hash agg."""
+    from ..sources import documents
+
+    reach = catchment_reach(spark, hops, budget)
+    spans = documents.geotagged_spans(spark).select(
+        "doc_id", F.col("hex_id").alias("cell_id")
+    )
+    return (
+        reach.join(spans, "cell_id")
+        .groupBy("site_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("cost_min").alias("nearest_span_cost"),
+        )
+    )
+
+
+def catchment_doc_density_oracle_sql(
+    hops: int = ISO_HOPS, budget: int = ISO_BUDGET
+) -> str:
+    from ..sources import documents
+
+    prelude = _reach_cte_sql(hex_sql.grid_sql(), hex_sql.sites_sql(), hops, budget)
+    g = documents.geotagged_spans_oracle_sql()
+    return f"""{prelude}
+SELECT b.site_id,
+       CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MIN(b.cost_min) AS BIGINT) AS nearest_span_cost
+FROM best b JOIN ({g}) g ON g.hex_id = b.cell_id
+GROUP BY b.site_id"""
+
+
 K_SELECT = 5
 
 

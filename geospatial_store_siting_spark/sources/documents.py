@@ -155,13 +155,27 @@ def geotagged_spans(spark: SparkSession) -> DataFrame:
 
     split_part + CAST parse (dialect-neutral); the encode is the shared
     codec SQL, so the oracle assigns identical cells.
+
+    The cast is guarded by ``kind = 'geo'`` INSIDE the expression, not
+    only by the preceding filter: a downstream INNER join on hex_id makes
+    Catalyst infer ``isnotnull(hex_id)`` and push it into the span-rows
+    Filter, where codegen's common-subexpression elimination evaluates
+    the cast chain BEFORE the kind conjunct — under ANSI mode that throws
+    CAST_INVALID_INPUT on the first text span ('key agg …').  The CASE
+    keeps the hoisted evaluation lazy; post-filter semantics unchanged.
     """
     rows = span_rows(spark).filter(F.col("kind") == "geo")
     parsed = rows.select(
         "doc_id",
         "span_offset",
-        F.expr("CAST(split_part(text, ',', 1) AS DOUBLE)").alias("lat"),
-        F.expr("CAST(split_part(text, ',', 2) AS DOUBLE)").alias("lon"),
+        F.expr(
+            "CASE WHEN kind = 'geo'"
+            " THEN CAST(split_part(text, ',', 1) AS DOUBLE) END"
+        ).alias("lat"),
+        F.expr(
+            "CASE WHEN kind = 'geo'"
+            " THEN CAST(split_part(text, ',', 2) AS DOUBLE) END"
+        ).alias("lon"),
     )
     parsed.createOrReplaceTempView("__geo_spans_tmp")
     return spark.sql(
