@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_path_cells": _q(rings.grid_path_cells),
         "cell_children": _q(rings.cell_children),
         "compact_cover": _q(rings.compact_cover),
+        "uncompact_cover": _q(rings.uncompact_cover),
         "catchment_isochrone": _q(isochrone.catchment_reach),
         "catchment_population": _q(isochrone.catchment_population),
         "catchment_doc_density": _q(isochrone.catchment_doc_density),
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_path_cells": rings.grid_path_cells_oracle_sql(),
         "cell_children": rings.cell_children_oracle_sql(),
         "compact_cover": rings.compact_cover_oracle_sql(),
+        "uncompact_cover": rings.uncompact_cover_oracle_sql(),
         "catchment_isochrone": isochrone.catchment_reach_oracle_sql(),
         "catchment_population": isochrone.catchment_population_oracle_sql(),
         "catchment_doc_density": isochrone.catchment_doc_density_oracle_sql(),

@@ -486,3 +486,25 @@ def compact_cover(spark: SparkSession) -> DataFrame:
 
 def compact_cover_oracle_sql() -> str:
     return _compact_sql(_cover_values_sql())
+
+
+def uncompact_cover(spark: SparkSession) -> DataFrame:
+    """H3 ``uncompact_cells`` analogue — and the roundtrip contract as a
+    driver-checked query: expand the compacted cover's res-7 rows through
+    the children enumeration, pass res-8 rows through.  The ORACLE is the
+    original cover literal itself, so the driver's value hash proves
+    uncompact(compact(cover)) == cover with no shared code between the
+    two sides."""
+    compact = _compact_sql(_cover_values_sql())
+    kids = _children_sql("SELECT cell_out AS parent_cell FROM cpt WHERE res = 7")
+    return spark.sql(
+        f"""
+WITH cpt AS ({compact})
+SELECT child_cell AS cell_id FROM ({kids}) __kids
+UNION
+SELECT cell_out AS cell_id FROM cpt WHERE res = 8"""
+    )
+
+
+def uncompact_cover_oracle_sql() -> str:
+    return f"SELECT cell_id FROM {_cover_values_sql()} __c"
