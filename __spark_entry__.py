@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catchment_isochrone": _q(isochrone.catchment_reach),
         "catchment_population": _q(isochrone.catchment_population),
         "catchment_doc_density": _q(isochrone.catchment_doc_density),
+        "huff_isochrone": _q(isochrone.huff_isochrone),
         "greedy_site_selection": _q(isochrone.greedy_site_selection),
         "kmv_audience_overlap": _q(sketches.kmv_audience_overlap),
         "cms_heavy_hitters": _q(sketches.cms_heavy_hitters),
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "catchment_isochrone": isochrone.catchment_reach_oracle_sql(),
         "catchment_population": isochrone.catchment_population_oracle_sql(),
         "catchment_doc_density": isochrone.catchment_doc_density_oracle_sql(),
+        "huff_isochrone": isochrone.huff_isochrone_oracle_sql(),
         "greedy_site_selection": isochrone.greedy_site_selection_oracle_sql(),
         "kmv_audience_overlap": sketches.kmv_audience_overlap_oracle_sql(),
         "cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),

@@ -242,6 +242,94 @@ FROM best b JOIN ({g}) g ON g.hex_id = b.cell_id
 GROUP BY b.site_id"""
 
 
+# 1e6/(1+cost)² snapped to an integer — gravity weights as exact BIGINTs
+# so every downstream SUM is order-independent (the huff.py micros device)
+def _g_micros_sql(cost: str) -> str:
+    return (
+        f"CAST(FLOOR(1000000.0 / "
+        f"(CAST(1 + ({cost}) AS DOUBLE) * CAST(1 + ({cost}) AS DOUBLE))"
+        f") AS BIGINT)"
+    )
+
+
+def huff_isochrone(
+    spark: SparkSession, hops: int = ISO_HOPS, budget: int = ISO_BUDGET
+) -> DataFrame:
+    """Cost-impedance Huff: gravity market shares where impedance is the
+    ISOCHRONE travel cost, not straight-line distance — the composition
+    the reference's drive-time TODO points at (its Huff uses planar
+    distance, `notebooks/10_feature_engineering.py:562-679`).
+
+    For every (store, cell) pair inside the store's catchment:
+    g = 1e6/(1+cost)² snapped to BIGINT; share = g/Σ_stores-reaching-cell;
+    demand = Σ_cells share·population.  Everything summed is an exact
+    integer (weights are micros, populations are integer-valued), so the
+    aggregation commutes — the only doubles are two single divisions.
+    Shuffle shape: reach (one shuffle, flat plan) → per-cell denominator
+    hash agg → equi-join back on cell → per-store hash agg — the same
+    "denominator once per cell, not per pair" scale pattern as
+    operators/huff.py."""
+    stores = spark.table("sites").filter(F.col("site_type") == "store")
+    reach = catchment_reach(spark, hops, budget, sites_df=stores)
+    g = reach.select(
+        "site_id",
+        "cell_id",
+        F.expr(_g_micros_sql("cost_min")).alias("g_micros"),
+    )
+    den = g.groupBy("cell_id").agg(F.sum("g_micros").alias("den_micros"))
+    pop_int = (
+        "CAST(500 + ((cell_id % 9973) % 5000) AS BIGINT)"
+    )  # integer form of grid_attrs_sql's population
+    shares = g.join(den, "cell_id").select(
+        "site_id",
+        "cell_id",
+        F.expr(
+            "CAST(FLOOR(CAST(g_micros AS DOUBLE) * 1000000.0"
+            " / CAST(den_micros AS DOUBLE)) AS BIGINT)"
+        ).alias("share_micros"),
+        F.expr(pop_int).alias("pop"),
+    )
+    return shares.groupBy("site_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("share_micros").alias("sum_share_micros"),
+        (
+            (F.sum(F.col("share_micros") * F.col("pop"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("huff_demand"),
+    )
+
+
+def huff_isochrone_oracle_sql(
+    hops: int = ISO_HOPS, budget: int = ISO_BUDGET
+) -> str:
+    stores_src = (
+        f"SELECT * FROM ({hex_sql.sites_sql()}) __all"
+        f" WHERE site_type = 'store'"
+    )
+    prelude = _reach_cte_sql(hex_sql.grid_sql(), stores_src, hops, budget)
+    g_micros = _g_micros_sql("cost_min")
+    return f"""{prelude},
+g AS (
+  SELECT site_id, cell_id, {g_micros} AS g_micros FROM best
+),
+den AS (
+  SELECT cell_id, CAST(SUM(g_micros) AS BIGINT) AS den_micros
+  FROM g GROUP BY cell_id
+),
+sh AS (
+  SELECT g.site_id, g.cell_id,
+         CAST(FLOOR(CAST(g.g_micros AS DOUBLE) * 1000000.0
+              / CAST(den.den_micros AS DOUBLE)) AS BIGINT) AS share_micros,
+         CAST(500 + ((g.cell_id % 9973) % 5000) AS BIGINT) AS pop
+  FROM g JOIN den ON den.cell_id = g.cell_id
+)
+SELECT site_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(share_micros) AS BIGINT) AS sum_share_micros,
+       CAST(SUM(share_micros * pop) AS DOUBLE) / 1000000.0 AS huff_demand
+FROM sh GROUP BY site_id"""
+
+
 K_SELECT = 5
 
 

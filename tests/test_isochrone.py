@@ -143,3 +143,36 @@ def test_catchment_plan_keeps_dim_broadcast(geo):
     # partial aggregation collapses per-site paths before the exchange
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected one shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_huff_isochrone_shares_partition_unity(geo):
+    """Cost-impedance Huff invariants: per cell the store shares must sum
+    to 1e6 within floor loss (< n_stores_reaching micros), and per-store
+    demand must equal the Python recomputation from the reach table."""
+    stores = geo.table("sites").filter("site_type = 'store'")
+    reach = isochrone.catchment_reach(geo, sites_df=stores).collect()
+    by_cell = {}
+    for r in reach:
+        g = int(1_000_000 // (1 + r.cost_min) ** 2)
+        by_cell.setdefault(r.cell_id, []).append((r.site_id, g))
+    import math
+
+    expected = {}
+    for cell, pairs in by_cell.items():
+        den = sum(g for _, g in pairs)
+        pop = 500 + (cell % 9973) % 5000
+        total_share = 0
+        for sid, g in pairs:
+            share = int(math.floor(g * 1_000_000.0 / den))
+            total_share += share
+            agg = expected.setdefault(sid, [0, 0, 0])
+            agg[0] += 1
+            agg[1] += share
+            agg[2] += share * pop
+        assert 1_000_000 - len(pairs) < total_share <= 1_000_000, cell
+    got = {r.site_id: r for r in isochrone.huff_isochrone(geo).collect()}
+    assert set(got) == set(expected)
+    for sid, (n, s, d) in expected.items():
+        r = got[sid]
+        assert (r.n_cells, r.sum_share_micros) == (n, s), sid
+        assert r.huff_demand == d / 1_000_000.0, sid
