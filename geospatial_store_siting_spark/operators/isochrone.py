@@ -364,6 +364,11 @@ def greedy_site_selection(
         .join(cand, "site_id")
         .withColumn("population", pop)
         .select("site_id", "cell_id", "population")
+        # every round re-reads this frame (scores + winner's cells): persist
+        # so the reach expansion executes ONCE, not k×2 times — spillable
+        # (MEMORY_AND_DISK), unpersisted before return, unlike the pinned
+        # localCheckpoint pattern the CC loop moved away from
+        .persist()
     )
     covered = None
     chosen: list[tuple[int, int, float]] = []
@@ -392,6 +397,7 @@ def greedy_site_selection(
             if covered is None
             else covered.unionByName(new_cells).distinct()
         )
+    creach.unpersist()
     return spark.createDataFrame(
         chosen, "pick_rank bigint, site_id bigint, gain double"
     )
