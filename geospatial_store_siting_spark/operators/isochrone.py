@@ -35,9 +35,12 @@ Execution shape (the 100-TB posture):
   Deep budgets would route per-round labels through
   ``dedup._stage_or_checkpoint`` (the near_dup_components pattern).
 
-Oracle: a DuckDB recursive CTE enumerates every ≤H-hop path under the
-budget and takes the per-(site, cell) MIN — all-integer arithmetic, so
-the value hash is exact.
+Oracle: a recursive CTE (UNION ALL — depth-bounded by the hop counter)
+enumerates every ≤H-hop path under the budget and takes the
+per-(site, cell) MIN — all-integer arithmetic, so the value hash is
+exact.  The SAME text executes on Spark 4's WITH RECURSIVE and on
+DuckDB (tests/test_isochrone.py::test_recursive_cte_text_runs_on_spark_too):
+one SQL string, three agreeing plans.
 """
 
 from __future__ import annotations
@@ -432,7 +435,7 @@ reach AS (
   SELECT s.site_id, s.cell_id, s.q, s.r,
          CAST(0 AS BIGINT) AS cost, 0 AS hops
   FROM seeds s
-  UNION
+  UNION ALL
   SELECT r.site_id, {ncell} AS cell_id, r.q + o.dq, r.r + o.dr,
          {new_cost}, r.hops + 1
   FROM reach r

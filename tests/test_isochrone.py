@@ -176,3 +176,18 @@ def test_huff_isochrone_shares_partition_unity(geo):
         r = got[sid]
         assert (r.n_cells, r.sum_share_micros) == (n, s), sid
         assert r.huff_demand == d / 1_000_000.0, sid
+
+
+def test_recursive_cte_text_runs_on_spark_too(geo):
+    """Spark 4 executes the oracle's WITH RECURSIVE text directly — one
+    SQL string, three agreeing plans (flat DataFrame, Bellman-Ford loop,
+    recursive CTE on either engine)."""
+    rec = {
+        (r.site_id, r.cell_id): r.cost_min
+        for r in geo.sql(isochrone.catchment_reach_oracle_sql()).collect()
+    }
+    flat = {
+        (r.site_id, r.cell_id): r.cost_min
+        for r in isochrone.catchment_reach(geo).collect()
+    }
+    assert rec == flat
