@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _q(sketches.kmv_distinct_users),
         "kmv_merged_global": _q(sketches.kmv_merged_global),
         "grid_path_cells": _q(rings.grid_path_cells),
+        "corridor_demand": _q(rings.corridor_demand),
         "cell_children": _q(rings.cell_children),
         "compact_cover": _q(rings.compact_cover),
         "uncompact_cover": _q(rings.uncompact_cover),
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": sketches.kmv_distinct_users_oracle_sql(),
         "kmv_merged_global": sketches.kmv_merged_global_oracle_sql(),
         "grid_path_cells": rings.grid_path_cells_oracle_sql(),
+        "corridor_demand": rings.corridor_demand_oracle_sql(),
         "cell_children": rings.cell_children_oracle_sql(),
         "compact_cover": rings.compact_cover_oracle_sql(),
         "uncompact_cover": rings.uncompact_cover_oracle_sql(),

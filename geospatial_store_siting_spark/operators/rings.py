@@ -466,6 +466,36 @@ def grid_path_cells_oracle_sql() -> str:
     return _grid_path_sql(hex_sql.sites_sql(), seq_dialect="duckdb")
 
 
+def _corridor_demand_sql(src_sql: str, seq_dialect: str) -> str:
+    """Per-site corridor rollup over the center path: cell count, demand
+    along the corridor, and summed closed-form terrain cost — the
+    'what does the commute corridor look like' siting feature."""
+    path = _grid_path_sql(src_sql, seq_dialect)
+    pop = hex_sql.grid_attrs_sql("path_cell")["population"]
+    cost = "(CAST(1 AS BIGINT) + ((path_cell) % 5))"
+    return f"""
+SELECT site_id,
+       CAST(COUNT(*) AS BIGINT) AS n_path_cells,
+       SUM({pop}) AS corridor_pop,
+       CAST(SUM({cost}) AS BIGINT) AS corridor_cost
+FROM ({path}) __p
+GROUP BY site_id"""
+
+
+def corridor_demand(spark: SparkSession) -> DataFrame:
+    """Demand and terrain cost along each site's center corridor — the
+    grid_path consumer (generative + one hash agg, no joins)."""
+    return spark.sql(
+        _corridor_demand_sql(
+            "SELECT site_id, metro, h3_res8 FROM sites", seq_dialect="spark"
+        )
+    )
+
+
+def corridor_demand_oracle_sql() -> str:
+    return _corridor_demand_sql(hex_sql.sites_sql(), seq_dialect="duckdb")
+
+
 def _cover_values_sql() -> str:
     """The convex-layer polyfill cover (operators/pip.polygon_cell_cover)
     as a VALUES literal — pure deterministic Python, inlined identically
