@@ -21,6 +21,7 @@ from geospatial_store_siting_spark.operators import (
     encode,
     events_ops,
     features,
+    hotspots,
     huff,
     isochrone,
     knn,
@@ -264,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zone_counts": _q(pip.doc_zone_counts),
         "pip_distributed_assignments": _q(pip.pip_cover_join_distributed),
         "zonal_stats": _q(zonal.zonal_stats),
+        "hotspot_gi": _q(hotspots.hotspot_gi),
+        "hotspot_clusters": _qsf(hotspots.hotspot_clusters),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
@@ -461,6 +464,8 @@ def oracle_sql() -> dict[str, str]:
         # must still produce the ordered-CASE assignment
         "pip_distributed_assignments": pip.pip_assignments_oracle_sql(),
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
+        "hotspot_gi": hotspots.hotspot_gi_oracle_sql(),
+        "hotspot_clusters": hotspots.hotspot_clusters_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),
         # ml_predictions / media_feature_summary: intentionally no oracle

@@ -1,0 +1,245 @@
+"""Spatial-statistics layer over the hex lattice: Getis-Ord Gi* hotspot
+z-scores and DBSCAN-style density clusters.
+
+The reference ranks candidate cells by raw feature values
+(`/root/reference/notebooks/13_score_candidates.py` percentile tiers); a
+siting analyst's next question is *where the signal clusters spatially* —
+classic hotspot analysis. Both operators here are pure lattice relational
+plans (no spatial library, no Python in the hot path):
+
+- ``hotspot_gi``: Getis-Ord Gi* over each cell's k=1 disk (the 7-cell
+  neighborhood INCLUDING the center — the * variant). Neighborhood sums
+  come from the same generator-explode + cell-id equi-join every ring
+  feature uses (`rings.ring_pairs`); the global moments are one scalar
+  subquery cross-joined in (a 1-row broadcast). Every aggregate input is
+  exact BIGINT (population is integral by construction,
+  `hex_sql.grid_attrs_sql`), so all sums are order-independent and the
+  final z expression is a single shared double-precision text evaluated
+  identically by Spark and DuckDB.
+
+- ``hotspot_clusters``: density clusters = connected components of
+  "dense" cells (population ≥ ``DENSE_POP``) under ring-1 adjacency —
+  DBSCAN on a hex grid degenerates to exactly this (eps = one cell,
+  minPts expressed as the per-cell density threshold). Components reuse
+  the distributed hash-min + pointer-doubling loop built for near-dup
+  docs (``dedup.connected_components``) — the same O(log diameter)
+  machinery serves both the corpus graph and the lattice graph.
+
+Scale posture (100 TB): the Gi* plan is one generator explode (×7), one
+cell-keyed shuffle hash join against the grid, and one hash agg — linear
+in |grid|, no all-pairs anywhere; the scalar-moments side is a 1-row
+cross join (broadcast). The cluster plan's CC loop inherits the durable
+per-round stages + SHUFFLE_HASH pinning of the dedup loop (a stats
+misestimate that broadcast a continent-sized dense-cell table would
+serialize every round on the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import RES_TRADE_AREA
+from ..functions import hex_sql
+
+# density threshold for cluster membership: population is uniform on
+# [500, 5500) (hash-derived, hex_sql.grid_attrs_sql), so ≥ 4500 keeps the
+# top ~20% of cells — sparse enough that adjacency is informative, dense
+# enough that multi-cell clusters exist at every SF
+DENSE_POP = 4500
+
+# Gi* significance thresholds (two-sided normal 95% / 99%)
+_Z95 = "CAST(1.645 AS DOUBLE)"
+_Z99 = "CAST(2.576 AS DOUBLE)"
+
+_GRID_SRC_SPARK = "SELECT cell_id, q, r, population FROM hex_grid"
+
+
+def _x_cte(grid_src: str) -> str:
+    """The integer-valued analysis frame: population is integral by
+    construction, so BIGINT-casting it makes every downstream SUM exact
+    and order-independent (the oracle-determinism rule)."""
+    return f"""
+x AS (SELECT cell_id, q, r, CAST(population AS BIGINT) AS pop
+      FROM ({grid_src}) __g)"""
+
+
+def _hotspot_sql(grid_src: str) -> str:
+    """Shared Spark/DuckDB SQL for Gi* (binary weights over the k=1 disk,
+    center included).
+
+    z_i = (W_i − x̄·m_i) / (S·sqrt((n·m_i − m_i²)/(n−1))) with
+    W_i = Σ_{j∈disk(i)} x_j, m_i = |disk(i) ∩ grid| (edge cells have
+    fewer present neighbors), x̄ and S the global mean/std. n, m, W, Σx,
+    Σx² are exact BIGINTs; the z text is evaluated once per row from
+    those exact inputs, so both engines produce bit-identical doubles;
+    the reported z is floor-rounded to 6 dp (``hex_sql.round_sql``) and
+    the significance tier is derived from the ROUNDED value so a 1-ulp
+    wobble can never flip a tier across engines. The rounded value is
+    CAST back to DOUBLE in the shared text: Spark types FLOOR(double) as
+    BIGINT and BIGINT ÷ decimal-literal as a DECIMAL division (scale 9,
+    lands in pandas as object), while DuckDB stays DOUBLE throughout —
+    both sides of the cast are the correctly-rounded double of the same
+    exact rational, so parity is preserved bit-for-bit."""
+    nbr = hex_sql.cell_id_from_qr_sql("x.q + __o.dq", "x.r + __o.dr", RES_TRADE_AREA)
+    xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    # S² = Σx²/n − x̄²; the grid is hash-uniform so S > 0 at every SF, but
+    # the crafted-fixture guard keeps a constant surface well-defined
+    s2 = f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {xbar} * {xbar})"
+    denom = (
+        f"(SQRT({s2}) * SQRT((CAST(n AS DOUBLE) * CAST(m AS DOUBLE)"
+        f" - CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))))"
+    )
+    z = (
+        f"CASE WHEN {s2} <= CAST(0.0 AS DOUBLE) OR n <= 1 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE (CAST(wsum AS DOUBLE) - {xbar} * CAST(m AS DOUBLE)) / {denom} END"
+    )
+    return f"""
+WITH {_x_cte(grid_src)},
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pop) AS BIGINT) AS sx,
+         CAST(SUM(pop * pop) AS BIGINT) AS sxx
+  FROM x),
+ring AS (
+  SELECT x.cell_id, {nbr} AS nbr
+  FROM x CROSS JOIN {hex_sql.ring_offsets_values_sql(1)} __o),
+w AS (
+  SELECT r.cell_id,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x2.pop) AS BIGINT) AS wsum
+  FROM ring r JOIN x x2 ON r.nbr = x2.cell_id
+  GROUP BY r.cell_id),
+scored AS (
+  SELECT w.cell_id, w.m, w.wsum,
+         CAST({hex_sql.round_sql(z, 6)} AS DOUBLE) AS gi_z
+  FROM w CROSS JOIN stats)
+SELECT cell_id,
+       m AS n_present,
+       wsum AS ring_pop,
+       gi_z,
+       CASE WHEN gi_z >= {_Z99} THEN 'hot99'
+            WHEN gi_z >= {_Z95} THEN 'hot95'
+            WHEN gi_z <= -{_Z99} THEN 'cold99'
+            WHEN gi_z <= -{_Z95} THEN 'cold95'
+            ELSE 'ns' END AS tier
+FROM scored"""
+
+
+def hotspot_gi(spark: SparkSession) -> DataFrame:
+    """Gi* hotspot z-scores of grid population over ring-1 neighborhoods."""
+    return spark.sql(_hotspot_sql(_GRID_SRC_SPARK))
+
+
+def hotspot_gi_oracle_sql() -> str:
+    return _hotspot_sql(hex_sql.grid_sql())
+
+
+# ---------------------------------------------------------------------------
+# Density clusters (DBSCAN-on-grid): dense cells ∪ ring-1 adjacency → CC
+# ---------------------------------------------------------------------------
+
+
+def _dense_edges_sql(grid_src: str) -> str:
+    """Shared SQL: adjacency edges (a, b) between dense cells — each dense
+    cell exploded into its 6 ring-1 neighbors (center excluded), kept when
+    the neighbor is itself dense. Both directions emerge naturally (every
+    dense pair is seen from each endpoint), so the edge list is already
+    symmetric."""
+    nbr = hex_sql.cell_id_from_qr_sql("d.q + __o.dq", "d.r + __o.dr", RES_TRADE_AREA)
+    return f"""
+WITH {_x_cte(grid_src)},
+dense AS (SELECT cell_id, q, r FROM x WHERE pop >= {DENSE_POP}),
+ring AS (
+  SELECT d.cell_id AS a, {nbr} AS nbr
+  FROM dense d CROSS JOIN {hex_sql.ring_offsets_values_sql(1)} __o
+  WHERE NOT (__o.dq = 0 AND __o.dr = 0))
+SELECT r.a, d2.cell_id AS b
+FROM ring r JOIN dense d2 ON r.nbr = d2.cell_id"""
+
+
+def hotspot_clusters(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    grid_df: DataFrame | None = None,
+) -> DataFrame:
+    """(cell_id, cluster_id, cluster_size) for every dense cell; the
+    cluster id is the MIN cell id of the component (deterministic), and
+    isolated dense cells are their own singleton cluster.
+
+    ``grid_df`` lets the crafted-fixture tests run the same plan over a
+    hand-built lattice; production reads the ``hex_grid`` view."""
+    from .dedup import _content_key, connected_components
+
+    g = (spark.table("hex_grid") if grid_df is None else grid_df).select(
+        "cell_id", "q", "r", F.col("population").cast("long").alias("pop")
+    )
+    dense = g.filter(F.col("pop") >= DENSE_POP).select("cell_id", "q", "r")
+    items = ", ".join(
+        f"struct({int(dq)} as dq, {int(dr)} as dr)"
+        for dq, dr in hex_sql.ring_offsets(1)
+        if (dq, dr) != (0, 0)
+    )
+    nbr = dense.select(
+        F.col("cell_id").alias("a"),
+        "q",
+        "r",
+        F.explode(F.expr(f"array({items})")).alias("o"),
+    ).select(
+        "a",
+        F.expr(
+            hex_sql.cell_id_from_qr_sql("q + o.dq", "r + o.dr", RES_TRADE_AREA)
+        ).alias("nbr"),
+    )
+    edges = nbr.join(
+        dense.select(F.col("cell_id").alias("b")), nbr.nbr == F.col("b")
+    ).select("a", "b")
+    key = None
+    if sf_dir is not None and grid_df is None:
+        key = _content_key(
+            "hotspot_cluster_edges|" + _dense_edges_sql(hex_sql.grid_sql()),
+            code=(hotspot_clusters,),
+        )
+    # assume_small=False: the dense-cell table is grid-scale (no small-side
+    # guarantee at census scale) — pin the CC loop's joins to SHUFFLE_HASH
+    labels = connected_components(
+        spark, edges, sf_dir=sf_dir if grid_df is None else None,
+        content_key=key, assume_small=False,
+    )
+    d2 = dense.select("cell_id")
+    out = d2.join(labels, d2["cell_id"] == labels["node"], "left").select(
+        d2["cell_id"].alias("cell_id"),
+        F.coalesce(F.col("label"), d2["cell_id"]).alias("cluster_id"),
+    )
+    from pyspark.sql import Window
+
+    return out.select(
+        "cell_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+def hotspot_clusters_oracle_sql() -> str:
+    """DuckDB twin: recursive min-label reachability over the same dense
+    adjacency (the fixpoint the hash-min loop converges to)."""
+    edges = _dense_edges_sql(hex_sql.grid_sql())
+    dense_src = f"""
+WITH {_x_cte(hex_sql.grid_sql())}
+SELECT cell_id FROM x WHERE pop >= {DENSE_POP}"""
+    return f"""
+WITH RECURSIVE e AS ({edges}),
+nodes AS ({dense_src}),
+reach(node, r) AS (
+  SELECT cell_id, cell_id FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+),
+lab AS (SELECT node AS cell_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cell_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab"""

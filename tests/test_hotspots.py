@@ -1,0 +1,121 @@
+"""Hotspot layer tests: Gi* numpy exactness + crafted cluster fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from geospatial_store_siting_spark.config import (
+    AXIS_OFFSET,
+    AXIS_SHIFT,
+    RES_CODE_SHIFT,
+)
+from geospatial_store_siting_spark.functions import hex_sql
+from geospatial_store_siting_spark.operators import hotspots
+
+
+def _cell(q: int, r: int, res: int = 8) -> int:
+    return (res - 6) * RES_CODE_SHIFT + (q + AXIS_OFFSET) * AXIS_SHIFT + (r + AXIS_OFFSET)
+
+
+class TestHotspotGi:
+    def test_numpy_recomputation(self, geo):
+        """Gi* z-scores match an independent numpy recomputation of the
+        textbook formula (binary weights, k=1 disk incl. center) on the
+        same grid: exact BIGINT neighborhood sums, z within one floor-
+        rounding step, tier consistent with the rounded z."""
+        grid = geo.sql(
+            "SELECT cell_id, q, r, CAST(population AS BIGINT) AS pop FROM hex_grid"
+        ).toPandas()
+        out = hotspots.hotspot_gi(geo).toPandas().set_index("cell_id")
+        assert len(out) == len(grid)
+
+        pop = dict(zip(grid["cell_id"], grid["pop"]))
+        by_qr = {(q, r): c for c, q, r in zip(grid["cell_id"], grid["q"], grid["r"])}
+        n = len(grid)
+        sx = int(grid["pop"].sum())
+        sxx = int((grid["pop"].astype(object) ** 2).sum())
+        xbar = sx / n
+        s = np.sqrt(sxx / n - xbar * xbar)
+
+        offs = hex_sql.ring_offsets(1)
+        rng = np.random.default_rng(7)
+        sample = rng.choice(len(grid), size=min(300, len(grid)), replace=False)
+        for i in sample:
+            c, q, r = grid.loc[i, ["cell_id", "q", "r"]]
+            nbrs = [by_qr.get((q + dq, r + dr)) for dq, dr in offs]
+            present = [x for x in nbrs if x is not None]
+            m = len(present)
+            wsum = sum(pop[x] for x in present)
+            row = out.loc[c]
+            assert row["n_present"] == m
+            assert row["ring_pop"] == wsum
+            z = (wsum - xbar * m) / (s * np.sqrt((n * m - m * m) / (n - 1)))
+            zr = np.floor(z * 1e6 + 0.5) / 1e6
+            assert abs(row["gi_z"] - zr) <= 1e-6
+            # tier is a pure function of the rounded z
+            gz = row["gi_z"]
+            tier = (
+                "hot99" if gz >= 2.576 else "hot95" if gz >= 1.645
+                else "cold99" if gz <= -2.576 else "cold95" if gz <= -1.645
+                else "ns"
+            )
+            assert row["tier"] == tier
+
+    def test_tiers_partition(self, geo):
+        out = hotspots.hotspot_gi(geo).toPandas()
+        assert set(out["tier"]).issubset({"hot99", "hot95", "cold99", "cold95", "ns"})
+        # interior cells see the full 7-cell disk at most
+        assert out["n_present"].between(1, 7).all()
+
+
+class TestHotspotClusters:
+    def _grid(self, spark, cells: dict[tuple[int, int], int]):
+        rows = [
+            (float(_cell(q, r)), int(q), int(r), float(p))
+            for (q, r), p in cells.items()
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "q", "r", "population"])
+        )
+
+    def test_l_shape_and_singleton(self, spark):
+        """An L-shaped dense blob is ONE cluster labeled by its min cell
+        id; an isolated dense cell is a singleton; sub-threshold cells —
+        even ones bridging the blob and the singleton — never appear."""
+        dense = hotspots.DENSE_POP + 100
+        cells = {
+            (0, 0): dense,
+            (1, 0): dense,
+            (2, 0): dense,
+            (2, 1): dense,  # adjacent to (2,0) via the (0,1) offset
+            (10, 10): dense,  # isolated singleton
+            (3, 0): hotspots.DENSE_POP - 1,  # sub-threshold: invisible
+            (9, 10): hotspots.DENSE_POP - 1,
+        }
+        out = (
+            hotspots.hotspot_clusters(spark, grid_df=self._grid(spark, cells))
+            .toPandas()
+            .set_index("cell_id")
+        )
+        blob = [_cell(0, 0), _cell(1, 0), _cell(2, 0), _cell(2, 1)]
+        single = _cell(10, 10)
+        assert set(out.index) == set(blob) | {single}
+        assert (out.loc[blob, "cluster_id"] == min(blob)).all()
+        assert (out.loc[blob, "cluster_size"] == 4).all()
+        assert out.loc[single, "cluster_id"] == single
+        assert out.loc[single, "cluster_size"] == 1
+
+    def test_diagonal_is_not_adjacent(self, spark):
+        """(0,0) and (1,1) are hex-distance 2 (the (1,1) offset is not in
+        the ring-1 disk) — they must land in different clusters."""
+        dense = hotspots.DENSE_POP
+        out = (
+            hotspots.hotspot_clusters(
+                spark, grid_df=self._grid(spark, {(0, 0): dense, (1, 1): dense})
+            )
+            .toPandas()
+            .set_index("cell_id")
+        )
+        assert out.loc[_cell(0, 0), "cluster_id"] != out.loc[_cell(1, 1), "cluster_id"]
+        assert (out["cluster_size"] == 1).all()
