@@ -39,7 +39,12 @@ from geospatial_store_siting_spark.operators import (
     text_ops,
     zonal,
 )
-from geospatial_store_siting_spark.sources import documents, multimodal, tables
+from geospatial_store_siting_spark.sources import (
+    documents,
+    layout,
+    multimodal,
+    tables,
+)
 
 
 def _load(spark: SparkSession, sf_dir: str) -> None:
@@ -267,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q(zonal.zonal_stats),
         "hotspot_gi": _q(hotspots.hotspot_gi),
         "hotspot_clusters": _qsf(hotspots.hotspot_clusters),
+        "zorder_keys": _q(layout.zorder_keys),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
@@ -466,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": zonal.zonal_stats_oracle_sql(),
         "hotspot_gi": hotspots.hotspot_gi_oracle_sql(),
         "hotspot_clusters": hotspots.hotspot_clusters_oracle_sql(),
+        "zorder_keys": layout.zorder_keys_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),
         # ml_predictions / media_feature_summary: intentionally no oracle
