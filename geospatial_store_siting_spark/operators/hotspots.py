@@ -224,6 +224,112 @@ def hotspot_clusters(
     )
 
 
+# ---------------------------------------------------------------------------
+# Emerging hotspots: space-time cube + per-cell Mann-Kendall trend
+# ---------------------------------------------------------------------------
+# The ESRI "emerging hot spot analysis" shape re-expressed relationally:
+# bin events into (cell, day) space-time bins, sum each bin's ring-1
+# neighborhood (the spatial smoothing Gi* applies), then test each cell's
+# neighborhood series for a monotone trend with the Mann-Kendall S
+# statistic (tie-corrected variance, continuity-corrected z). Events gain
+# geography through their user's site cell (events.user_id is a customer
+# key and site_id = c_custkey — the engine's one user↔location link).
+#
+# Determinism: bins, ring sums, S, the tie term, and every variance input
+# are exact BIGINTs; sign() comparisons happen on integers, so no float
+# order-dependence can flip a pair. Only the final z is double — one
+# shared expression over identical integers, floor-rounded to 6 dp, tier
+# derived from the rounded value (same discipline as Gi* above).
+#
+# Scale: the cube is |active cells| × T rows (T = bounded time slices),
+# the ring sum is one generator explode + (cell, day)-keyed hash join,
+# and the MK self-join is T²/2 pairs PER CELL — linear in cells, constant
+# in data volume once binned. No driver involvement anywhere.
+
+
+def _st_day_expr(dialect: str) -> str:
+    """Day bin from a timestamp — the one dialect-split expression
+    (DuckDB EPOCH vs Spark unix_timestamp; nested-floor identity makes
+    the two second→day paths agree)."""
+    if dialect == "spark":
+        return "CAST(FLOOR(unix_timestamp(ts) / 86400.0) AS BIGINT)"
+    return "CAST(FLOOR(EPOCH(ts) / 86400.0) AS BIGINT)"
+
+
+def _emerging_sql(sites_src: str, dialect: str) -> str:
+    nbr = hex_sql.cell_id_from_qr_sql("c.q + __o.dq", "c.r + __o.dr", RES_TRADE_AREA)
+    sqrt_v = (
+        "SQRT((CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) - 1.0)"
+        " * (2.0 * CAST(t AS DOUBLE) + 5.0)"
+        " - CAST(tie_term AS DOUBLE)) / CAST(18.0 AS DOUBLE))"
+    )
+    # continuity-corrected z; all-tied series (V = 0) are flat by definition
+    z = (
+        f"CASE WHEN {sqrt_v} <= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)"
+        f" WHEN s_mk > 0 THEN (CAST(s_mk AS DOUBLE) - 1.0) / {sqrt_v}"
+        f" WHEN s_mk < 0 THEN (CAST(s_mk AS DOUBLE) + 1.0) / {sqrt_v}"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT s.h3_res8 AS cell_id, s.q, s.r, {_st_day_expr(dialect)} AS day
+  FROM events e JOIN ({sites_src}) s ON e.user_id = s.site_id),
+cells AS (SELECT DISTINCT cell_id, q, r FROM ev),
+days AS (SELECT DISTINCT day FROM ev),
+tcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days),
+counts AS (
+  SELECT cell_id, day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY cell_id, day),
+cube0 AS (
+  SELECT c.cell_id, c.q, c.r, d.day, COALESCE(n.n, CAST(0 AS BIGINT)) AS n
+  FROM cells c CROSS JOIN days d
+  LEFT JOIN counts n ON n.cell_id = c.cell_id AND n.day = d.day),
+ring AS (
+  SELECT c.cell_id, c.day, {nbr} AS nbr
+  FROM cube0 c CROSS JOIN {hex_sql.ring_offsets_values_sql(1)} __o),
+w AS (
+  SELECT r2.cell_id, r2.day, CAST(SUM(x.n) AS BIGINT) AS wn
+  FROM ring r2 JOIN cube0 x ON r2.nbr = x.cell_id AND r2.day = x.day
+  GROUP BY r2.cell_id, r2.day),
+pairs AS (
+  SELECT a.cell_id,
+         CASE WHEN b.wn > a.wn THEN 1 WHEN b.wn < a.wn THEN -1 ELSE 0 END AS sgn
+  FROM w a JOIN w b ON a.cell_id = b.cell_id AND b.day > a.day),
+s AS (
+  SELECT cell_id, CAST(SUM(sgn) AS BIGINT) AS s_mk,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY cell_id),
+ties AS (
+  SELECT cell_id,
+         CAST(SUM(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT cell_id, wn, CAST(COUNT(*) AS BIGINT) AS g
+        FROM w GROUP BY cell_id, wn) __g
+  GROUP BY cell_id),
+scored AS (
+  SELECT s.cell_id, s.s_mk, s.n_pairs,
+         CAST({hex_sql.round_sql(z, 6)} AS DOUBLE) AS z_mk
+  FROM s JOIN ties ON s.cell_id = ties.cell_id CROSS JOIN tcnt)
+SELECT cell_id, s_mk, n_pairs, z_mk,
+       CASE WHEN z_mk >= {_Z95} THEN 'rising'
+            WHEN z_mk <= -{_Z95} THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM scored"""
+
+
+def emerging_hotspots(spark: SparkSession) -> DataFrame:
+    """Per-cell Mann-Kendall trend of ring-1 neighborhood event activity
+    over daily space-time bins."""
+    return spark.sql(
+        _emerging_sql(
+            "SELECT site_id, h3_res8, q, r FROM sites", dialect="spark"
+        )
+    )
+
+
+def emerging_hotspots_oracle_sql() -> str:
+    return _emerging_sql(hex_sql.sites_sql(), dialect="duckdb")
+
+
 def hotspot_clusters_oracle_sql() -> str:
     """DuckDB twin: recursive min-label reachability over the same dense
     adjacency (the fixpoint the hash-min loop converges to)."""

@@ -69,6 +69,61 @@ class TestHotspotGi:
         assert out["n_present"].between(1, 7).all()
 
 
+class TestEmergingHotspots:
+    def test_mann_kendall_recomputation(self, geo):
+        """S, the pair count, and the tie-corrected continuity-corrected z
+        match a from-scratch pandas/numpy recomputation of the space-time
+        cube (bins → ring-1 sums → MK over each cell's series)."""
+        ev = geo.sql(
+            """SELECT s.h3_res8 AS cell_id, s.q, s.r,
+                      CAST(FLOOR(unix_timestamp(e.ts) / 86400.0) AS BIGINT) AS day
+               FROM events e JOIN sites s ON e.user_id = s.site_id"""
+        ).toPandas()
+        out = hotspots.emerging_hotspots(geo).toPandas().set_index("cell_id")
+
+        cells = ev[["cell_id", "q", "r"]].drop_duplicates()
+        days = sorted(ev["day"].unique())
+        t = len(days)
+        counts = ev.groupby(["cell_id", "day"]).size().to_dict()
+        by_qr = {(q, r): c for c, q, r in cells.itertuples(index=False)}
+        offs = hex_sql.ring_offsets(1)
+
+        assert len(out) == len(cells)
+        for c, q, r in cells.itertuples(index=False):
+            nbrs = [by_qr.get((q + dq, r + dr)) for dq, dr in offs]
+            series = [
+                sum(counts.get((n, d), 0) for n in nbrs if n is not None)
+                for d in days
+            ]
+            s_mk = sum(
+                (series[b] > series[a]) - (series[b] < series[a])
+                for a in range(t)
+                for b in range(a + 1, t)
+            )
+            row = out.loc[c]
+            assert row["s_mk"] == s_mk
+            assert row["n_pairs"] == t * (t - 1) // 2
+            g = pd.Series(series).value_counts()
+            tie = int((g * (g - 1) * (2 * g + 5)).sum())
+            var = (t * (t - 1) * (2 * t + 5) - tie) / 18.0
+            if var <= 0 or s_mk == 0:
+                z = 0.0
+            else:
+                z = (s_mk - 1) / np.sqrt(var) if s_mk > 0 else (s_mk + 1) / np.sqrt(var)
+            zr = np.floor(z * 1e6 + 0.5) / 1e6
+            assert abs(row["z_mk"] - zr) <= 1e-6
+            want = (
+                "rising" if row["z_mk"] >= 1.645
+                else "falling" if row["z_mk"] <= -1.645 else "flat"
+            )
+            assert row["trend"] == want
+
+    def test_signal_exists(self, geo):
+        out = hotspots.emerging_hotspots(geo).toPandas()
+        # the MK machinery must actually discriminate: some non-zero S
+        assert (out["s_mk"] != 0).any()
+
+
 class TestHotspotClusters:
     def _grid(self, spark, cells: dict[tuple[int, int], int]):
         rows = [
