@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_clusters": _qsf(hotspots.hotspot_clusters),
         "zorder_keys": _q(layout.zorder_keys),
         "emerging_hotspots": _q(hotspots.emerging_hotspots),
+        "moran_i": _q(hotspots.moran_i),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
@@ -475,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_clusters": hotspots.hotspot_clusters_oracle_sql(),
         "zorder_keys": layout.zorder_keys_oracle_sql(),
         "emerging_hotspots": hotspots.emerging_hotspots_oracle_sql(),
+        "moran_i": hotspots.moran_i_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),
         # ml_predictions / media_feature_summary: intentionally no oracle

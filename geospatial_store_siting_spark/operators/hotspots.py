@@ -225,6 +225,72 @@ def hotspot_clusters(
 
 
 # ---------------------------------------------------------------------------
+# Global spatial autocorrelation: Moran's I per metro
+# ---------------------------------------------------------------------------
+
+
+def _moran_sql(grid_src: str) -> str:
+    """Shared SQL for per-metro Moran's I (binary ring-1 weights, no
+    self-loops): I = (n/W) · Σ_{ij adjacent} c_i c_j / Σ_i c_i² with the
+    n-scaled centering c_i = n·x_i − Σx, which keeps every accumulator an
+    exact integer (the n² factors cancel in the ratio).
+
+    Overflow posture: c ~ n·x_max, so c² overflows BIGINT once a metro
+    holds ~10⁵ cells — the cross-product terms are therefore computed and
+    summed as DECIMAL(38,0) (exact 128-bit accumulation in BOTH engines;
+    Spark's SUM(DECIMAL) and DuckDB's agree digit-for-digit, and the
+    final decimal→double conversion of identical integers is correctly
+    rounded on each side). Expected value under the null is −1/(n−1);
+    both ratios floor-rounded to 6 dp."""
+    nbr = hex_sql.cell_id_from_qr_sql("c.q + __o.dq", "c.r + __o.dr", RES_TRADE_AREA)
+    i_expr = (
+        "CASE WHEN CAST(den AS DOUBLE) <= CAST(0.0 AS DOUBLE)"
+        " OR COALESCE(w_pairs, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE (CAST(n AS DOUBLE) / CAST(w_pairs AS DOUBLE))"
+        " * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) END"
+    )
+    e_expr = "(CAST(-1.0 AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))"
+    return f"""
+WITH x AS (
+  SELECT metro, cell_id, q, r, CAST(population AS BIGINT) AS pop
+  FROM ({grid_src}) __g),
+m AS (
+  SELECT metro, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS sx
+  FROM x GROUP BY metro),
+c AS (
+  SELECT x.metro, x.cell_id, x.q, x.r,
+         CAST(m.n * x.pop - m.sx AS DECIMAL(19,0)) AS cv
+  FROM x JOIN m ON x.metro = m.metro),
+ring AS (
+  SELECT c.metro, c.cell_id, {nbr} AS nbr, c.cv
+  FROM c CROSS JOIN {hex_sql.ring_offsets_values_sql(1)} __o
+  WHERE NOT (__o.dq = 0 AND __o.dr = 0)),
+num_agg AS (
+  SELECT r.metro,
+         CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         SUM(r.cv * c2.cv) AS num
+  FROM ring r JOIN c c2 ON r.nbr = c2.cell_id AND r.metro = c2.metro
+  GROUP BY r.metro),
+den_agg AS (SELECT metro, SUM(cv * cv) AS den FROM c GROUP BY metro)
+SELECT m.metro, m.n AS n_cells,
+       COALESCE(num_agg.w_pairs, CAST(0 AS BIGINT)) AS w_pairs,
+       CAST({hex_sql.round_sql(i_expr, 6)} AS DOUBLE) AS moran_i,
+       CAST({hex_sql.round_sql(e_expr, 6)} AS DOUBLE) AS expected_i
+FROM m
+LEFT JOIN num_agg ON m.metro = num_agg.metro
+JOIN den_agg ON m.metro = den_agg.metro"""
+
+
+def moran_i(spark: SparkSession) -> DataFrame:
+    """Per-metro Moran's I of grid population under ring-1 adjacency."""
+    return spark.sql(_moran_sql("SELECT metro, cell_id, q, r, population FROM hex_grid"))
+
+
+def moran_i_oracle_sql() -> str:
+    return _moran_sql(hex_sql.grid_sql())
+
+
+# ---------------------------------------------------------------------------
 # Emerging hotspots: space-time cube + per-cell Mann-Kendall trend
 # ---------------------------------------------------------------------------
 # The ESRI "emerging hot spot analysis" shape re-expressed relationally:

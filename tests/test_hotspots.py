@@ -69,6 +69,40 @@ class TestHotspotGi:
         assert out["n_present"].between(1, 7).all()
 
 
+class TestMoranI:
+    def test_numpy_recomputation(self, geo):
+        """Per-metro I matches the textbook formula computed directly in
+        Python integers (exact num/den, ratio assembled the same way)."""
+        grid = geo.sql(
+            "SELECT metro, cell_id, q, r, CAST(population AS BIGINT) AS pop FROM hex_grid"
+        ).toPandas()
+        out = hotspots.moran_i(geo).toPandas().set_index("metro")
+        offs = [o for o in hex_sql.ring_offsets(1) if o != (0, 0)]
+        for metro, sub in grid.groupby("metro"):
+            n = len(sub)
+            sx = int(sub["pop"].sum())
+            cv = {
+                (q, r): n * int(p) - sx
+                for q, r, p in sub[["q", "r", "pop"]].itertuples(index=False)
+            }
+            num = w = 0
+            for (q, r), ci in cv.items():
+                for dq, dr in offs:
+                    cj = cv.get((q + dq, r + dr))
+                    if cj is not None:
+                        num += ci * cj
+                        w += 1
+            den = sum(c * c for c in cv.values())
+            want = 0.0 if (den == 0 or w == 0) else (n / w) * (num / den)
+            wr = np.floor(want * 1e6 + 0.5) / 1e6
+            row = out.loc[metro]
+            assert row["n_cells"] == n
+            assert row["w_pairs"] == w
+            assert abs(row["moran_i"] - wr) <= 1e-6
+            er = np.floor((-1.0 / (n - 1)) * 1e6 + 0.5) / 1e6
+            assert abs(row["expected_i"] - er) <= 1e-6
+
+
 class TestEmergingHotspots:
     def test_mann_kendall_recomputation(self, geo):
         """S, the pair count, and the tie-corrected continuity-corrected z
