@@ -63,6 +63,18 @@ def _ingest(s):
     return dedup.dedup_incremental(s, sf_dir=SF_DIR)
 
 
+def _hotspot(s):
+    from geospatial_store_siting_spark.operators import hotspots
+
+    return hotspots.hotspot_gi(s)
+
+
+def _emerging(s):
+    from geospatial_store_siting_spark.operators import hotspots
+
+    return hotspots.emerging_hotspots(s)
+
+
 def _dev_ring(s):
     from geospatial_store_siting_spark.operators import dev_signals
 
@@ -99,6 +111,8 @@ BENCH_QUERIES = {
     "dedup_incremental": _ingest,
     "dev_signal_ring1": _dev_ring,
     "catchment_isochrone": _catchment,
+    "hotspot_gi": _hotspot,
+    "emerging_hotspots": _emerging,
 }
 
 

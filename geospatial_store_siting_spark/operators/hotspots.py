@@ -310,7 +310,11 @@ def moran_i_oracle_sql() -> str:
 # Scale: the cube is |active cells| × T rows (T = bounded time slices),
 # the ring sum is one generator explode + (cell, day)-keyed hash join,
 # and the MK self-join is T²/2 pairs PER CELL — linear in cells, constant
-# in data volume once binned. No driver involvement anywhere.
+# in data volume once binned. No driver involvement anywhere. The event
+# corpus is scanned exactly ONCE (the binning agg); the cells/days dims
+# derive from the aggregated bins, not from re-reads of the corpus —
+# Spark inlines deterministic CTEs, so a dim written as DISTINCT-over-ev
+# would silently re-run the corpus join per reference.
 
 
 def _st_day_expr(dialect: str) -> str:
@@ -340,12 +344,12 @@ def _emerging_sql(sites_src: str, dialect: str) -> str:
 WITH ev AS (
   SELECT s.h3_res8 AS cell_id, s.q, s.r, {_st_day_expr(dialect)} AS day
   FROM events e JOIN ({sites_src}) s ON e.user_id = s.site_id),
-cells AS (SELECT DISTINCT cell_id, q, r FROM ev),
-days AS (SELECT DISTINCT day FROM ev),
-tcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days),
 counts AS (
-  SELECT cell_id, day, CAST(COUNT(*) AS BIGINT) AS n
-  FROM ev GROUP BY cell_id, day),
+  SELECT cell_id, q, r, day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY cell_id, q, r, day),
+cells AS (SELECT DISTINCT cell_id, q, r FROM counts),
+days AS (SELECT DISTINCT day FROM counts),
+tcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days),
 cube0 AS (
   SELECT c.cell_id, c.q, c.r, d.day, COALESCE(n.n, CAST(0 AS BIGINT)) AS n
   FROM cells c CROSS JOIN days d
