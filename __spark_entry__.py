@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _q(layout.zorder_keys),
         "emerging_hotspots": _q(hotspots.emerging_hotspots),
         "moran_i": _q(hotspots.moran_i),
+        "hotspot_gi_docs": _q(hotspots.hotspot_gi_docs),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
@@ -477,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_keys": layout.zorder_keys_oracle_sql(),
         "emerging_hotspots": hotspots.emerging_hotspots_oracle_sql(),
         "moran_i": hotspots.moran_i_oracle_sql(),
+        "hotspot_gi_docs": hotspots.hotspot_gi_docs_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),
         # ml_predictions / media_feature_summary: intentionally no oracle

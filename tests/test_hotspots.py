@@ -157,6 +157,42 @@ class TestEmergingHotspots:
         # the MK machinery must actually discriminate: some non-zero S
         assert (out["s_mk"] != 0).any()
 
+    def test_event_corpus_scanned_once(self, geo):
+        """Catalyst inlines deterministic CTEs, so the bins/series must be
+        materialized: the final MK plan reads only checkpointed frames
+        (zero events relations), and the one corpus pass is the binning
+        stage (exactly one events relation in its own plan)."""
+        final = (
+            hotspots.emerging_hotspots(geo)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert final.count("Relation [event_id#") == 0
+        bins = (
+            geo.sql(
+                hotspots._bins_sql(
+                    "SELECT site_id, h3_res8, q, r FROM sites", dialect="spark"
+                )
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert bins.count("Relation [event_id#") == 1
+
+
+class TestHotspotGiDocs:
+    def test_same_statistic_different_surface(self, geo):
+        """The doc-density variant runs the identical Gi* text over span
+        counts: schema matches hotspot_gi and the neighborhood sums are
+        consistent with the density input."""
+        out = hotspots.hotspot_gi_docs(geo).toPandas()
+        base = hotspots.hotspot_gi(geo).toPandas()
+        assert list(out.columns) == list(base.columns)
+        assert (out["ring_pop"] >= 1).all()  # every cell has ≥1 span (its own)
+        assert out["n_present"].between(1, 7).all()
+
 
 class TestHotspotClusters:
     def _grid(self, spark, cells: dict[tuple[int, int], int]):
