@@ -571,3 +571,37 @@ def catchment_stream(spark: SparkSession, sites: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "site_id bigint, cell_id bigint, cost_min bigint"
     )
+
+
+def st_bins_stream(events: DataFrame, sites: DataFrame) -> DataFrame:
+    """Streaming twin of the space-time cube's binning stage
+    (operators/hotspots._bins_sql): arriving events stream-static join
+    the sites dim for geography, then a watermarked 1-day tumbling
+    window counts per (cell, day) — a pure Structured Streaming
+    aggregation (no foreachBatch: unlike the iterative isochrone twin,
+    binning IS one windowed plan).  Day ids come from the window start
+    (UTC session ⇒ midnight-aligned windows), so the stream's bins equal
+    the batch ``FLOOR(unix_timestamp/86400)`` bins row-for-row — the
+    batch-equivalence test asserts it.
+
+    State at scale: per-(cell, day) running counts, dropped once the
+    1-day watermark passes — bounded by active cells × ~2 days, the
+    RocksDB-friendly shape."""
+    dim = sites.select(
+        F.col("site_id").alias("user_id"), "h3_res8", "q", "r"
+    )
+    return (
+        events.withWatermark("ts", "1 day")
+        .join(dim, "user_id")
+        .groupBy("h3_res8", "q", "r", F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("h3_res8").alias("cell_id"),
+            "q",
+            "r",
+            (F.unix_timestamp(F.col("w.start")) / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -349,3 +349,32 @@ def test_catchment_stream_equals_batch(geo, tmp_path):
         .reset_index(drop=True)
     )
     assert streamed.equals(batch)
+
+
+def test_st_bins_stream_matches_batch(geo):
+    """The streaming space-time bins equal the batch binning stage
+    (hotspots._bins_sql) row-for-row — window-start day ids and the
+    epoch-floor day ids must agree under the UTC session."""
+    from geospatial_store_siting_spark.operators import hotspots
+
+    ev = stream_jobs.events_stream(geo, SF_DIR)
+    bins = stream_jobs.st_bins_stream(ev, geo.table("sites"))
+    stream_jobs.run_to_memory(bins, "st_bins")
+    got = (
+        geo.table("st_bins")
+        .toPandas()
+        .sort_values(["cell_id", "day"], ignore_index=True)
+    )
+    want = (
+        geo.sql(
+            hotspots._bins_sql(
+                "SELECT site_id, h3_res8, q, r FROM sites", dialect="spark"
+            )
+        )
+        .toPandas()
+        .sort_values(["cell_id", "day"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["cell_id", "q", "r", "day", "n"]].astype("int64"),
+        want[["cell_id", "q", "r", "day", "n"]].astype("int64"),
+    )
