@@ -118,3 +118,97 @@ SELECT cell_id,
        (FLOOR((MAX(value)) * 10000.0 + 0.5) / 10000.0) AS max_value
 FROM ({encoded}) __e
 GROUP BY cell_id"""
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted (IDW) surface interpolation
+# ---------------------------------------------------------------------------
+# The other raster↔vector direction: scattered point samples (store sites
+# with observed annual_sales) interpolated onto the hex grid — the sales
+# surface a siting analyst drapes over the demand map. Shepard weights
+# w = 1/max(d², floor²) with the engine's planar squared distance (pure
+# multiply/add — libm trig would wobble a steep kernel, operators/huff.py).
+#
+# Determinism: weights AND sample values snap to exact integers BEFORE any
+# aggregation (weight → micros, sales → cents), so the per-cell sums are
+# order-independent BIGINT arithmetic and one shared double division at
+# the end is bit-identical across engines — the huff_isochrone /
+# unigram_surprisal discipline.
+#
+# Scale: the sample dim (stores) explodes to its ring-2 disk (×19) and
+# hash-joins grid cells on the cell id — dim-side explode, |grid|-side
+# untouched; one hash agg per cell. No crossJoin, no window, no Python.
+
+IDW_RING = 2
+IDW_FLOOR2 = "0.0025"  # miles², = DISTANCE_FLOOR_MILES²
+
+
+def _idw_sql(grid_src: str, sites_src: str) -> str:
+    from ..config import HEX_SIZE_DEG, RES_TRADE_AREA
+
+    offs = ", ".join(
+        f"({dq}, {dr})" for dq, dr in hex_sql.ring_offsets(IDW_RING)
+    )
+    nbr = hex_sql.cell_id_from_qr_sql("s.q + __o.dq", "s.r + __o.dr", 8)
+    # centroids recomputed HERE with all-DOUBLE casts, not read from the
+    # grid view: the view's centroid columns are DECIMAL on Spark (bare
+    # decimal literals) and DOUBLE on DuckDB — a latent 1-ulp divergence
+    # the weight snap could amplify at a .5 boundary; the shared cast
+    # chain pins both engines to the identical IEEE path (the
+    # parent_rollup / cell_boundary discipline)
+    s8 = f"CAST({HEX_SIZE_DEG[RES_TRADE_AREA]!r} AS DOUBLE)"
+    sqrt3 = f"CAST({hex_sql.SQRT3} AS DOUBLE)"
+    clat = f"(CAST(gq_r AS DOUBLE) * CAST(1.5 AS DOUBLE) * {s8})"
+    clon = (
+        f"((CAST(gq_q AS DOUBLE) + CAST(gq_r AS DOUBLE) / CAST(2.0 AS DOUBLE))"
+        f" * {sqrt3} * {s8})"
+    )
+    d2 = (
+        f"((({clat} - lat) * CAST(69.0 AS DOUBLE))"
+        f" * (({clat} - lat) * CAST(69.0 AS DOUBLE))"
+        f" + (({clon} - lon) * CAST(54.6 AS DOUBLE))"
+        f" * (({clon} - lon) * CAST(54.6 AS DOUBLE)))"
+    )
+    w = (
+        f"(CAST(1.0 AS DOUBLE) / (CASE WHEN {d2} > CAST({IDW_FLOOR2} AS DOUBLE)"
+        f" THEN {d2} ELSE CAST({IDW_FLOOR2} AS DOUBLE) END))"
+    )
+    w_micros = f"CAST(FLOOR({w} * 1000000.0 + 0.5) AS BIGINT)"
+    s_cents = "CAST(FLOOR(annual_sales * 100.0 + 0.5) AS BIGINT)"
+    idw = "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(100.0 AS DOUBLE))"
+    return f"""
+WITH stores AS (
+  SELECT site_id, q, r, lat, lon, annual_sales
+  FROM ({sites_src}) __s WHERE annual_sales IS NOT NULL),
+pairs AS (
+  SELECT {nbr} AS cell_id, s.site_id, s.lat, s.lon, s.annual_sales
+  FROM stores s
+  CROSS JOIN (SELECT * FROM (VALUES {offs}) AS __ring(dq, dr)) __o),
+joined AS (
+  SELECT pr.cell_id, pr.lat, pr.lon, pr.annual_sales,
+         g.q AS gq_q, g.r AS gq_r
+  FROM pairs pr JOIN ({grid_src}) g ON pr.cell_id = g.cell_id),
+contrib AS (
+  SELECT cell_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM({w_micros} * {s_cents}) AS BIGINT) AS num,
+         CAST(SUM({w_micros}) AS BIGINT) AS den
+  FROM joined
+  GROUP BY cell_id)
+SELECT cell_id, n_samples,
+       CAST({hex_sql.round_sql(idw, 2)} AS DOUBLE) AS idw_sales
+FROM contrib WHERE den > 0"""
+
+
+def idw_sales_surface(spark: SparkSession) -> DataFrame:
+    """IDW-interpolated sales surface over the demographics grid."""
+    return spark.sql(
+        _idw_sql(
+            "SELECT cell_id, q, r FROM hex_grid",
+            "SELECT site_id, q, r, lat, lon, annual_sales FROM sites",
+        )
+    )
+
+
+def idw_sales_surface_oracle_sql() -> str:
+    return _idw_sql(hex_sql.grid_sql(), hex_sql.sites_sql())

@@ -244,3 +244,49 @@ class TestHotspotClusters:
         )
         assert out.loc[_cell(0, 0), "cluster_id"] != out.loc[_cell(1, 1), "cluster_id"]
         assert (out["cluster_size"] == 1).all()
+
+
+class TestIdwSurface:
+    def test_numpy_recomputation(self, geo):
+        """IDW values match an exact integer recomputation: micros-snapped
+        Shepard weights x cents-snapped sales, BIGINT sums, one division,
+        floor-round 2 dp — every compared digit is deterministic."""
+        from geospatial_store_siting_spark.operators import zonal
+
+        stores = geo.sql(
+            "SELECT site_id, q, r, lat, lon, annual_sales FROM sites"
+            " WHERE annual_sales IS NOT NULL"
+        ).toPandas()
+        grid = geo.sql("SELECT cell_id, q, r FROM hex_grid").toPandas()
+        out = zonal.idw_sales_surface(geo).toPandas().set_index("cell_id")
+
+        s8 = 0.0045
+        sqrt3 = float(hex_sql.SQRT3)
+        cent = {
+            c: (r * 1.5 * s8, (q + r / 2.0) * sqrt3 * s8)
+            for c, q, r in grid.itertuples(index=False)
+        }
+        acc: dict[int, list[int]] = {}
+        offs = hex_sql.ring_offsets(zonal.IDW_RING)
+        for s in stores.itertuples(index=False):
+            cents_val = int(np.floor(s.annual_sales * 100.0 + 0.5))
+            for dq, dr in offs:
+                cell = _cell(s.q + dq, s.r + dr)
+                if cell not in cent:
+                    continue
+                la, lo = cent[cell]
+                d2 = ((la - s.lat) * 69.0) ** 2 + ((lo - s.lon) * 54.6) ** 2
+                w = 1.0 / max(d2, 0.0025)
+                wm = int(np.floor(w * 1e6 + 0.5))
+                num, den, n = acc.get(cell, (0, 0, 0))
+                acc[cell] = (num + wm * cents_val, den + wm, n + 1)
+
+        want = {
+            c: (n, np.floor((num / den / 100.0) * 100.0 + 0.5) / 100.0)
+            for c, (num, den, n) in acc.items()
+            if den > 0
+        }
+        assert set(out.index) == set(want)
+        for c, (n, v) in want.items():
+            assert out.loc[c, "n_samples"] == n
+            assert abs(out.loc[c, "idw_sales"] - v) <= 0.01
