@@ -224,6 +224,80 @@ def hotspot_clusters(
     )
 
 
+# ---------------------------------------------------------------------------
+# LISA: local Moran's I with cluster/outlier quadrants
+# ---------------------------------------------------------------------------
+
+
+def _lisa_sql(grid_src: str) -> str:
+    """Shared SQL for per-cell local Moran's I (Anselin LISA) over the
+    whole grid: I_i = n · c_i · Σ_{j∈ring1} c_j / Σ_k c_k² with the same
+    n-scaled integer centering as the global statistic (the 1/n factors
+    cancel). c_i and the ring sum are exact BIGINTs; their product and
+    the denominator accumulate as DECIMAL(38,0) (the ``moran_i`` overflow
+    posture); the quadrant label (HH/LL/HL/LH cluster-vs-outlier map)
+    comes from INTEGER sign comparisons, so it can never flip on a float
+    wobble, and only the final I ratio is double (floor-rounded 6 dp)."""
+    nbr = hex_sql.cell_id_from_qr_sql("c.q + __o.dq", "c.r + __o.dr", RES_TRADE_AREA)
+    i_expr = (
+        "CASE WHEN CAST(den AS DOUBLE) <= CAST(0.0 AS DOUBLE)"
+        " THEN CAST(0.0 AS DOUBLE)"
+        " ELSE CAST(n AS DOUBLE) * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) END"
+    )
+    return f"""
+WITH x AS (
+  SELECT cell_id, q, r, CAST(population AS BIGINT) AS pop
+  FROM ({grid_src}) __g),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS sx FROM x),
+c AS (
+  SELECT x.cell_id, x.q, x.r, CAST(m.n * x.pop - m.sx AS BIGINT) AS cv
+  FROM x CROSS JOIN m),
+ring AS (
+  SELECT c.cell_id, {nbr} AS nbr
+  FROM c CROSS JOIN {hex_sql.ring_offsets_values_sql(1)} __o
+  WHERE NOT (__o.dq = 0 AND __o.dr = 0)),
+rs AS (
+  SELECT r.cell_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ring,
+         CAST(SUM(c2.cv) AS BIGINT) AS ring_cv
+  FROM ring r JOIN c c2 ON r.nbr = c2.cell_id
+  GROUP BY r.cell_id),
+den_agg AS (SELECT SUM(CAST(cv AS DECIMAL(19,0)) * CAST(cv AS DECIMAL(19,0))) AS den FROM c),
+scored AS (
+  SELECT c.cell_id, c.cv, rs.n_ring, rs.ring_cv,
+         CAST(c.cv AS DECIMAL(19,0)) * CAST(rs.ring_cv AS DECIMAL(19,0)) AS num
+  FROM c JOIN rs ON c.cell_id = rs.cell_id)
+SELECT s.cell_id, s.n_ring,
+       CAST({hex_sql.round_sql(i_expr, 6)} AS DOUBLE) AS lisa_i,
+       CASE WHEN s.cv > 0 AND s.ring_cv > 0 THEN 'HH'
+            WHEN s.cv < 0 AND s.ring_cv < 0 THEN 'LL'
+            WHEN s.cv > 0 AND s.ring_cv < 0 THEN 'HL'
+            WHEN s.cv < 0 AND s.ring_cv > 0 THEN 'LH'
+            ELSE 'zero' END AS quadrant
+FROM scored s CROSS JOIN m CROSS JOIN den_agg"""
+
+
+def lisa_clusters(
+    spark: SparkSession, grid_df: DataFrame | None = None
+) -> DataFrame:
+    """Anselin local Moran's I cluster/outlier map over grid population.
+
+    Cells with no present ring neighbor are excluded (no local term);
+    the HL/LH quadrants are the spatial-outlier cells a siting analyst
+    flags for manual review. ``grid_df`` lets the crafted-fixture tests
+    run the same text over a hand-built lattice."""
+    if grid_df is not None:
+        grid_df.createOrReplaceTempView("__lisa_grid")
+        return spark.sql(
+            _lisa_sql("SELECT cell_id, q, r, population FROM __lisa_grid")
+        )
+    return spark.sql(_lisa_sql("SELECT cell_id, q, r, population FROM hex_grid"))
+
+
+def lisa_clusters_oracle_sql() -> str:
+    return _lisa_sql(hex_sql.grid_sql())
+
+
 def _doc_density_sql(spans_src: str) -> str:
     """Per-cell geotagged-span density in the Gi* input shape (the
     integral 'population' is the span count)."""

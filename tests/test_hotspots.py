@@ -290,3 +290,79 @@ class TestIdwSurface:
         for c, (n, v) in want.items():
             assert out.loc[c, "n_samples"] == n
             assert abs(out.loc[c, "idw_sales"] - v) <= 0.01
+
+
+class TestLisaClusters:
+    def test_python_integer_recomputation(self, geo):
+        """LISA I and the quadrant labels match a direct Python-integer
+        recomputation (c_i, ring sums, product/denominator ratio)."""
+        from geospatial_store_siting_spark.operators import hotspots as hs
+
+        grid = geo.sql(
+            "SELECT cell_id, q, r, CAST(population AS BIGINT) AS pop FROM hex_grid"
+        ).toPandas()
+        out = hs.lisa_clusters(geo).toPandas().set_index("cell_id")
+        n = len(grid)
+        sx = int(grid["pop"].sum())
+        cv = {
+            (q, r): (c, n * int(p) - sx)
+            for c, q, r, p in grid.itertuples(index=False)
+        }
+        den = sum(v * v for _, v in cv.values())
+        offs = [o for o in hex_sql.ring_offsets(1) if o != (0, 0)]
+        seen = 0
+        for (q, r), (c, ci) in cv.items():
+            ring = [cv.get((q + dq, r + dr)) for dq, dr in offs]
+            ring = [v for v in ring if v is not None]
+            if not ring:
+                assert c not in out.index
+                continue
+            seen += 1
+            rs = sum(v for _, v in ring)
+            want_i = 0.0 if den == 0 else n * ((ci * rs) / den)
+            wr = np.floor(want_i * 1e6 + 0.5) / 1e6
+            row = out.loc[c]
+            assert row["n_ring"] == len(ring)
+            assert abs(row["lisa_i"] - wr) <= 1e-6
+            quad = (
+                "HH" if ci > 0 and rs > 0 else "LL" if ci < 0 and rs < 0
+                else "HL" if ci > 0 and rs < 0 else "LH" if ci < 0 and rs > 0
+                else "zero"
+            )
+            assert row["quadrant"] == quad
+        assert seen == len(out)
+        assert set(out["quadrant"]) <= {"HH", "LL", "HL", "LH", "zero"}
+
+    def test_crafted_quadrants(self, spark):
+        """A hand-built lattice with a known high core, low basin, and one
+        spatial outlier produces exactly the expected quadrant labels."""
+        from geospatial_store_siting_spark.operators import hotspots as hs
+
+        cells = {
+            # high cluster: a hex pair surrounded by highs
+            (0, 0): 9000, (1, 0): 9000, (0, 1): 9000,
+            # low basin, far away, mutually adjacent
+            (40, 40): 100, (41, 40): 100, (40, 41): 100,
+            # spatial outlier: one high cell inside the low basin
+            (41, 41): 9000,
+            # a low cell adjacent ONLY to the high outlier (the LH case)
+            (42, 41): 100,
+        }
+        rows = [
+            (float(_cell(q, r)), int(q), int(r), float(p))
+            for (q, r), p in cells.items()
+        ]
+        grid = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "q", "r", "population"])
+        )
+        out = hs.lisa_clusters(spark, grid_df=grid).toPandas().set_index("cell_id")
+        assert out.loc[_cell(0, 0), "quadrant"] == "HH"
+        assert out.loc[_cell(1, 0), "quadrant"] == "HH"
+        assert out.loc[_cell(40, 40), "quadrant"] == "LL"
+        # the high cell inside the basin is a high-low outlier; its two
+        # low basin neighbors stay LL (the basin outweighs the outlier);
+        # the low cell adjacent ONLY to the outlier is the LH case
+        assert out.loc[_cell(41, 41), "quadrant"] == "HL"
+        assert out.loc[_cell(41, 40), "quadrant"] == "LL"
+        assert out.loc[_cell(40, 41), "quadrant"] == "LL"
+        assert out.loc[_cell(42, 41), "quadrant"] == "LH"
