@@ -464,6 +464,84 @@ FROM ring r2 JOIN cube0 x ON r2.nbr = x.cell_id AND r2.day = x.day
 GROUP BY r2.cell_id, r2.day"""
 
 
+def _stgi_sql(bins_src: str) -> str:
+    """Space-time Gi* over the dense cube: each (cell, day) bin's
+    neighborhood is its ring-1 disk × day−1..day+1 (21 bins, self
+    included) — the ESRI space-time hot spot statistic proper. Global
+    moments run over the DENSE cube (zeros included: N = |cells|·T), all
+    sums exact BIGINT; same rounded-z/tier discipline as ``hotspot_gi``.
+    Edge bins (first/last day, lattice border) simply see fewer present
+    neighbors — m is carried per bin, exactly as the spatial Gi* does."""
+    nbr = hex_sql.cell_id_from_qr_sql("c.q + __o.dq", "c.r + __o.dr", RES_TRADE_AREA)
+    offs = ", ".join(
+        f"({dq}, {dr}, {dd})"
+        for dq, dr in hex_sql.ring_offsets(1)
+        for dd in (-1, 0, 1)
+    )
+    xbar = "(CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))"
+    s2 = f"(CAST(sxx AS DOUBLE) / CAST(nn AS DOUBLE) - {xbar} * {xbar})"
+    denom = (
+        f"(SQRT({s2}) * SQRT((CAST(nn AS DOUBLE) * CAST(m AS DOUBLE)"
+        f" - CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+        f" / (CAST(nn AS DOUBLE) - CAST(1.0 AS DOUBLE))))"
+    )
+    z = (
+        f"CASE WHEN {s2} <= CAST(0.0 AS DOUBLE) OR nn <= 1 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE (CAST(wsum AS DOUBLE) - {xbar} * CAST(m AS DOUBLE)) / {denom} END"
+    )
+    return f"""
+WITH counts AS ({bins_src}),
+cells AS (SELECT DISTINCT cell_id, q, r FROM counts),
+days AS (SELECT DISTINCT day FROM counts),
+cube0 AS (
+  SELECT c.cell_id, c.q, c.r, d.day, COALESCE(n.n, CAST(0 AS BIGINT)) AS n
+  FROM cells c CROSS JOIN days d
+  LEFT JOIN counts n ON n.cell_id = c.cell_id AND n.day = d.day),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(n) AS BIGINT) AS sx,
+         CAST(SUM(n * n) AS BIGINT) AS sxx
+  FROM cube0),
+ring AS (
+  SELECT c.cell_id, c.day, {nbr} AS nbr, c.day + __o.dd AS nbr_day
+  FROM cube0 c
+  CROSS JOIN (SELECT * FROM (VALUES {offs}) AS __st(dq, dr, dd)) __o),
+w AS (
+  SELECT r2.cell_id, r2.day,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x.n) AS BIGINT) AS wsum
+  FROM ring r2 JOIN cube0 x ON r2.nbr = x.cell_id AND r2.nbr_day = x.day
+  GROUP BY r2.cell_id, r2.day),
+scored AS (
+  SELECT w.cell_id, w.day, w.m, w.wsum,
+         CAST({hex_sql.round_sql(z, 6)} AS DOUBLE) AS gi_z
+  FROM w CROSS JOIN stats)
+SELECT cell_id, day,
+       m AS n_present,
+       wsum AS nbhd_events,
+       gi_z,
+       CASE WHEN gi_z >= {_Z99} THEN 'hot99'
+            WHEN gi_z >= {_Z95} THEN 'hot95'
+            WHEN gi_z <= -{_Z99} THEN 'cold99'
+            WHEN gi_z <= -{_Z95} THEN 'cold95'
+            ELSE 'ns' END AS tier
+FROM scored"""
+
+
+def st_gi_bins(spark: SparkSession) -> DataFrame:
+    """Space-time Gi* per (cell, day) bin — the same materialized-bins
+    posture as ``emerging_hotspots`` (one corpus scan, plan-asserted)."""
+    bins = spark.sql(
+        _bins_sql("SELECT site_id, h3_res8, q, r FROM sites", dialect="spark")
+    ).localCheckpoint(eager=True)
+    bins.createOrReplaceTempView("__stgi_bins")
+    return spark.sql(_stgi_sql("SELECT cell_id, q, r, day, n FROM __stgi_bins"))
+
+
+def st_gi_bins_oracle_sql() -> str:
+    return _stgi_sql(_bins_sql(hex_sql.sites_sql(), dialect="duckdb"))
+
+
 def _mk_sql(w_src: str, days_src: str) -> str:
     """Stage 3: Mann-Kendall S + tie-corrected z per cell's series."""
     sqrt_v = (

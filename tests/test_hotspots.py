@@ -366,3 +366,50 @@ class TestLisaClusters:
         assert out.loc[_cell(41, 40), "quadrant"] == "LL"
         assert out.loc[_cell(40, 41), "quadrant"] == "LL"
         assert out.loc[_cell(42, 41), "quadrant"] == "LH"
+
+
+class TestSpaceTimeGi:
+    def test_numpy_recomputation_sample(self, geo):
+        """Space-time Gi* on sampled bins matches the textbook formula
+        over the 7-cell x 3-day neighborhood with dense-cube moments."""
+        from geospatial_store_siting_spark.operators import hotspots as hs
+
+        bins = geo.sql(
+            hs._bins_sql("SELECT site_id, h3_res8, q, r FROM sites", dialect="spark")
+        ).toPandas()
+        out = hs.st_gi_bins(geo).toPandas().set_index(["cell_id", "day"])
+
+        cells = bins[["cell_id", "q", "r"]].drop_duplicates()
+        days = sorted(bins["day"].unique())
+        t = len(days)
+        nn = len(cells) * t
+        counts = bins.set_index(["cell_id", "day"])["n"].to_dict()
+        by_qr = {(q, r): c for c, q, r in cells.itertuples(index=False)}
+        sx = int(bins["n"].sum())
+        sxx = int((bins["n"].astype(object) ** 2).sum())  # zeros add nothing
+        xbar, s = sx / nn, np.sqrt(sxx / nn - (sx / nn) ** 2)
+        offs = [
+            (dq, dr, dd)
+            for dq, dr in hex_sql.ring_offsets(1)
+            for dd in (-1, 0, 1)
+        ]
+        assert len(out) == nn
+        rng = np.random.default_rng(11)
+        pick = rng.choice(len(cells), size=min(40, len(cells)), replace=False)
+        dayset = set(days)
+        for i in pick:
+            c, q, r = cells.iloc[i]
+            for d in (days[0], days[t // 2], days[-1]):
+                pres = [
+                    (by_qr[(q + dq, r + dr)], d + dd)
+                    for dq, dr, dd in offs
+                    if (q + dq, r + dr) in by_qr and (d + dd) in dayset
+                ]
+                m = len(pres)
+                wsum = sum(counts.get(p, 0) for p in pres)
+                z = (wsum - xbar * m) / (s * np.sqrt((nn * m - m * m) / (nn - 1)))
+                zr = np.floor(z * 1e6 + 0.5) / 1e6
+                row = out.loc[(c, d)]
+                assert row["n_present"] == m
+                assert row["nbhd_events"] == wsum
+                assert abs(row["gi_z"] - zr) <= 1e-6
