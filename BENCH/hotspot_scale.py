@@ -1,0 +1,144 @@
+"""Third N→4N scaling datapoint: the spatial-statistics family (Gi*).
+
+scaling.py covers the distance kernels, dedup_scale.py the corpus
+pipeline, isochrone_scale.py the iterative lattice expansion; this
+harness runs the hotspot workload — codegen disk-push generator → ONE
+hash agg (map-side combine) → existence join on the agg's partitioning →
+1-row moments broadcast — over the demographics grid replicated ×REPL as
+DISJOINT q-translated tiles, on TWO input layouts (Z-order vs hash: the
+layout decides whether the partial agg collapses the generator output
+before the shuffle) (adjacency inside
+each replica is preserved, replicas never touch, so the statistic's join
+structure scales linearly like a genuinely larger territory).  local[4]
+vs local[16], interleaved best-of-2, host capacity control first.
+Appends its section to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from geospatial_store_siting_spark.session import get_spark
+from geospatial_store_siting_spark.operators import hotspots
+from geospatial_store_siting_spark.sources import tables
+from geospatial_store_siting_spark.config import AXIS_OFFSET, AXIS_SHIFT, RES_CODE_SHIFT
+
+cores = int(sys.argv[1]); repl = int(sys.argv[2]); sf_dir = sys.argv[3]
+layout_kind = sys.argv[4]  # "hash" | "zord"
+spark = get_spark(app_name=f"hotspot-scaling-{cores}", cores=cores,
+                  shuffle_partitions=64,
+                  extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"})
+tables.load_all(spark, sf_dir)
+big_path = os.path.join("/root/repo/.snapshots",
+                        f"hotspot_scale_grid_x{repl}_{layout_kind}")
+if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    # translate each replica 4096 q-steps apart: way beyond ring reach,
+    # so tiles are adjacency-disjoint and the cell id stays < 2^53
+    big = (spark.table("hex_grid").select("cell_id", "q", "r", "population")
+        .crossJoin(reps)
+        .select(
+            (F.col("q") + F.col("rep") * 4096).alias("q"),
+            "r",
+            "population",
+        )
+        .withColumn(
+            "cell_id",
+            F.lit(2).cast("long") * F.lit(RES_CODE_SHIFT)
+            + (F.col("q") + F.lit(AXIS_OFFSET)).cast("long") * F.lit(AXIS_SHIFT)
+            + (F.col("r") + F.lit(AXIS_OFFSET)).cast("long"),
+        ))
+    if layout_kind == "zord":
+        # spatially-clustered layout: each file holds a contiguous Morton
+        # tile, so a target cell's 7 disk contributors sit in the SAME
+        # input partition and the neighborhood agg's map-side combine
+        # collapses the generator output before the shuffle
+        from geospatial_store_siting_spark.sources import layout as _lay
+        _lay.write_zordered(big, big_path, n_files=64)
+    else:
+        big.repartition(64, "cell_id").write.mode("overwrite").parquet(big_path)
+spark.read.parquet(big_path).createOrReplaceTempView("hex_grid")
+n_cells = spark.table("hex_grid").count()
+
+def workload():
+    t0 = time.perf_counter()
+    hotspots.hotspot_gi(spark).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+workload()  # warm: JIT + codegen
+dt = min(workload() for _ in range(2))
+print(json.dumps({"cores": cores, "sec": round(dt, 3), "cells": n_cells,
+                  "cells_per_sec": round(n_cells / dt, 1)}))
+spark.stop()
+""" % {"repo": REPO}
+
+
+def run(cores: int, repl: int, sf_dir: str, layout_kind: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), str(repl), sf_dir, layout_kind],
+        capture_output=True, text=True, timeout=1200, check=False,
+    )
+    import time as _t
+
+    _t.sleep(20)  # let the dying JVM's teardown CPU settle (see dedup_scale)
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("HOTSPOT_SCALE_REPL", "256"))
+    from _host import cpu_control
+
+    host = cpu_control()
+    print(json.dumps({"host_control": host}))
+    res = {}
+    for kind in ("zord", "hash"):
+        runs4 = [run(4, repl, sf_dir, kind)]
+        runs16 = [run(16, repl, sf_dir, kind)]
+        runs4.append(run(4, repl, sf_dir, kind))
+        runs16.append(run(16, repl, sf_dir, kind))
+        rN = min(runs4, key=lambda r: r["sec"])
+        r4N = min(runs16, key=lambda r: r["sec"])
+        eff = (r4N["cells_per_sec"] / rN["cells_per_sec"]) / 4.0
+        res[kind] = {"localN": rN, "local4N": r4N,
+                     "scaling_efficiency": round(eff, 3)}
+        print(json.dumps({kind: res[kind]}))
+    from _md import replace_section
+
+    z, h = res["zord"], res["hash"]
+    replace_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        "\n## Spatial-statistics (Gi*) scaling",
+        (
+            f"\n## Spatial-statistics (Gi*) scaling — grid ×{repl} disjoint tiles at {sf_dir}\n\n"
+            f"| input layout | cells/sec @ local[4] (N) | cells/sec @ local[16] (4N) | efficiency |\n|---|---|---|---|\n"
+            f"| Z-order (spatially clustered) | {z['localN']['cells_per_sec']} ({z['localN']['sec']} s) | {z['local4N']['cells_per_sec']} ({z['local4N']['sec']} s) | **{z['scaling_efficiency']}** |\n"
+            f"| hash by cell_id | {h['localN']['cells_per_sec']} ({h['localN']['sec']} s) | {h['local4N']['cells_per_sec']} ({h['local4N']['sec']} s) | {h['scaling_efficiency']} |\n"
+            f"| host parallel-capacity control | {host['parallel_capacity']} | per-proc {host['per_proc_sec_4']} s @4-way vs {host['per_proc_sec_16']} s @16-way | <0.85 = degraded window |\n\n"
+            f"Workload: {z['localN']['cells']} cells through hotspots.hotspot_gi — codegen\n"
+            f"disk-push generator + ONE hash agg (map-side combine) + existence join\n"
+            f"reusing the agg's partitioning + 1-row moments broadcast. Layout is the\n"
+            f"lever: on the hash layout a target's 7 contributors are scattered, so the\n"
+            f"partial agg collapses nothing and the full generator output shuffles; on\n"
+            f"the Z-ordered layout contributors share their input partition and the\n"
+            f"combine collapses ~7x before the exchange — neighborhood operators want\n"
+            f"spatially-clustered tables (sources/layout.write_zordered), the same\n"
+            f"layout the bbox-scan bench already justifies.\n"
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -127,9 +127,80 @@ SELECT cell_id,
 FROM scored"""
 
 
+def _gi_from_frame(spark: SparkSession, x: DataFrame) -> DataFrame:
+    """The Gi* DataFrame plan over an analysis frame (cell_id, q, r, pop).
+
+    Spark-side plan, tuned from the scaling harness (BENCH/
+    hotspot_scale.py): instead of exploding every cell's DISK and joining
+    the 7×|grid| ring table against the grid (a 7× shuffle into a join
+    build), each cell PUSHES its value to its 7 disk members — the ring-1
+    disk is symmetric, so Σ_{j∈disk(i)} x_j == Σ_{j: i∈disk(j)} x_j — and
+    one hash aggregation with map-side partial combine collapses the
+    generator output before the single shuffle. Phantom targets (disk
+    members outside the grid) drop in the existence join, which reuses
+    the aggregation's hash partitioning on the join key (no second
+    shuffle of the aggregated side). The generator is a codegen explode
+    over a literal array (a CROSS JOIN VALUES would plan
+    BroadcastNestedLoopJoin and fall out of whole-stage codegen —
+    `rings.ring_pairs`). Same exact-integer inputs, same shared z text as
+    the oracle ⇒ bit-identical values."""
+    items = ", ".join(
+        f"struct({int(dq)} as dq, {int(dr)} as dr)"
+        for dq, dr in hex_sql.ring_offsets(1)
+    )
+    contrib = x.select(
+        "q", "r", "pop", F.explode(F.expr(f"array({items})")).alias("o")
+    ).select(
+        F.expr(
+            hex_sql.cell_id_from_qr_sql("q + o.dq", "r + o.dr", RES_TRADE_AREA)
+        ).alias("cell_id"),
+        "pop",
+    )
+    sums = contrib.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("pop").cast("long").alias("wsum"),
+    )
+    w = sums.join(x.select("cell_id"), "cell_id")
+    stats = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pop").cast("long").alias("sx"),
+        F.sum(F.col("pop") * F.col("pop")).cast("long").alias("sxx"),
+    )
+    xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    s2 = f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {xbar} * {xbar})"
+    denom = (
+        f"(SQRT({s2}) * SQRT((CAST(n AS DOUBLE) * CAST(m AS DOUBLE)"
+        f" - CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))))"
+    )
+    z = (
+        f"CASE WHEN {s2} <= CAST(0.0 AS DOUBLE) OR n <= 1 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE (CAST(wsum AS DOUBLE) - {xbar} * CAST(m AS DOUBLE)) / {denom} END"
+    )
+    scored = w.crossJoin(F.broadcast(stats)).select(
+        "cell_id",
+        F.col("m").alias("n_present"),
+        F.col("wsum").alias("ring_pop"),
+        F.expr(f"CAST({hex_sql.round_sql(z, 6)} AS DOUBLE)").alias("gi_z"),
+    )
+    tier = (
+        f"CASE WHEN gi_z >= {_Z99} THEN 'hot99'"
+        f" WHEN gi_z >= {_Z95} THEN 'hot95'"
+        f" WHEN gi_z <= -{_Z99} THEN 'cold99'"
+        f" WHEN gi_z <= -{_Z95} THEN 'cold95'"
+        f" ELSE 'ns' END"
+    )
+    return scored.select(
+        "cell_id", "n_present", "ring_pop", "gi_z", F.expr(tier).alias("tier")
+    )
+
+
 def hotspot_gi(spark: SparkSession) -> DataFrame:
     """Gi* hotspot z-scores of grid population over ring-1 neighborhoods."""
-    return spark.sql(_hotspot_sql(_GRID_SRC_SPARK))
+    x = spark.table("hex_grid").select(
+        "cell_id", "q", "r", F.col("population").cast("long").alias("pop")
+    )
+    return _gi_from_frame(spark, x)
 
 
 def hotspot_gi_oracle_sql() -> str:
@@ -321,9 +392,9 @@ def hotspot_gi_docs(spark: SparkSession) -> DataFrame:
     dens = spark.sql(
         _doc_density_sql("SELECT hex_id, q, r FROM __gi_doc_spans")
     ).localCheckpoint(eager=True)
-    dens.createOrReplaceTempView("__gi_doc_density")
-    return spark.sql(
-        _hotspot_sql("SELECT cell_id, q, r, population FROM __gi_doc_density")
+    return _gi_from_frame(
+        spark,
+        dens.select("cell_id", "q", "r", F.col("population").alias("pop")),
     )
 
 
