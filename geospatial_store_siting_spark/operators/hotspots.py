@@ -295,6 +295,78 @@ def hotspot_clusters(
     )
 
 
+def _moran_biv_sql(grid_src: str) -> str:
+    """Shared SQL for per-metro BIVARIATE Moran's I — does variable x
+    co-locate with its neighbors' variable y? (population × pedestrian
+    traffic: does demand sit next to footfall.) With symmetric binary
+    weights the statistic is symmetric in (x, y):
+
+      I_xy = (n/W) · Σ_{ij adjacent} cx_i·cy_j / sqrt(Σcx² · Σcy²)
+
+    with the same n-scaled integer centering as ``moran_i`` (cx = n·x−Σx,
+    cy = n·y−Σy; the 1/n factors cancel against the σ normalizations).
+    Both value surfaces are integral by construction
+    (`hex_sql.grid_attrs_sql`), every accumulator is DECIMAL(38,0), and
+    only the final ratio is double (floor-rounded 6 dp)."""
+    nbr = hex_sql.cell_id_from_qr_sql("c.q + __o.dq", "c.r + __o.dr", RES_TRADE_AREA)
+    i_expr = (
+        "CASE WHEN CAST(dx AS DOUBLE) <= CAST(0.0 AS DOUBLE)"
+        " OR CAST(dy AS DOUBLE) <= CAST(0.0 AS DOUBLE)"
+        " OR COALESCE(w_pairs, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE (CAST(n AS DOUBLE) / CAST(w_pairs AS DOUBLE))"
+        " * (CAST(num AS DOUBLE)"
+        " / SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))) END"
+    )
+    return f"""
+WITH x AS (
+  SELECT metro, cell_id, q, r,
+         CAST(population AS BIGINT) AS xv,
+         CAST(pedestrian_traffic AS BIGINT) AS yv
+  FROM ({grid_src}) __g),
+m AS (
+  SELECT metro, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy
+  FROM x GROUP BY metro),
+c AS (
+  SELECT x.metro, x.cell_id, x.q, x.r,
+         CAST(m.n * x.xv - m.sx AS DECIMAL(19,0)) AS cx,
+         CAST(m.n * x.yv - m.sy AS DECIMAL(19,0)) AS cy
+  FROM x JOIN m ON x.metro = m.metro),
+ring AS (
+  SELECT c.metro, c.cell_id, {nbr} AS nbr, c.cx
+  FROM c CROSS JOIN {hex_sql.ring_offsets_values_sql(1)} __o
+  WHERE NOT (__o.dq = 0 AND __o.dr = 0)),
+num_agg AS (
+  SELECT r.metro,
+         CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         SUM(r.cx * c2.cy) AS num
+  FROM ring r JOIN c c2 ON r.nbr = c2.cell_id AND r.metro = c2.metro
+  GROUP BY r.metro),
+den_agg AS (
+  SELECT metro, SUM(cx * cx) AS dx, SUM(cy * cy) AS dy
+  FROM c GROUP BY metro)
+SELECT m.metro, m.n AS n_cells,
+       COALESCE(num_agg.w_pairs, CAST(0 AS BIGINT)) AS w_pairs,
+       CAST({hex_sql.round_sql(i_expr, 6)} AS DOUBLE) AS moran_xy
+FROM m
+LEFT JOIN num_agg ON m.metro = num_agg.metro
+JOIN den_agg ON m.metro = den_agg.metro"""
+
+
+def moran_bivariate(spark: SparkSession) -> DataFrame:
+    """Per-metro bivariate Moran's I: population × pedestrian traffic."""
+    return spark.sql(
+        _moran_biv_sql(
+            "SELECT metro, cell_id, q, r, population, pedestrian_traffic"
+            " FROM hex_grid"
+        )
+    )
+
+
+def moran_bivariate_oracle_sql() -> str:
+    return _moran_biv_sql(hex_sql.grid_sql())
+
+
 # ---------------------------------------------------------------------------
 # LISA: local Moran's I with cluster/outlier quadrants
 # ---------------------------------------------------------------------------

@@ -413,3 +413,43 @@ class TestSpaceTimeGi:
                 assert row["n_present"] == m
                 assert row["nbhd_events"] == wsum
                 assert abs(row["gi_z"] - zr) <= 1e-6
+
+
+class TestMoranBivariate:
+    def test_python_integer_recomputation(self, geo):
+        """Bivariate I (population x pedestrian traffic) matches the exact
+        Python-integer assembly of the same ratio per metro."""
+        from geospatial_store_siting_spark.operators import hotspots as hs
+
+        grid = geo.sql(
+            "SELECT metro, cell_id, q, r, CAST(population AS BIGINT) AS xv,"
+            " CAST(pedestrian_traffic AS BIGINT) AS yv FROM hex_grid"
+        ).toPandas()
+        out = hs.moran_bivariate(geo).toPandas().set_index("metro")
+        offs = [o for o in hex_sql.ring_offsets(1) if o != (0, 0)]
+        for metro, sub in grid.groupby("metro"):
+            n = len(sub)
+            sx, sy = int(sub["xv"].sum()), int(sub["yv"].sum())
+            cm = {
+                (q, r): (n * int(xv) - sx, n * int(yv) - sy)
+                for q, r, xv, yv in sub[["q", "r", "xv", "yv"]].itertuples(index=False)
+            }
+            num = w = 0
+            for (q, r), (cx, _) in cm.items():
+                for dq, dr in offs:
+                    o = cm.get((q + dq, r + dr))
+                    if o is not None:
+                        num += cx * o[1]
+                        w += 1
+            dx = sum(cx * cx for cx, _ in cm.values())
+            dy = sum(cy * cy for _, cy in cm.values())
+            want = (
+                0.0
+                if (dx == 0 or dy == 0 or w == 0)
+                else (n / w) * (num / np.sqrt(dx * dy))
+            )
+            wr = np.floor(want * 1e6 + 0.5) / 1e6
+            row = out.loc[metro]
+            assert row["n_cells"] == n
+            assert row["w_pairs"] == w
+            assert abs(row["moran_xy"] - wr) <= 1e-6
