@@ -67,6 +67,12 @@ def _training_corpus_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_corpus(spark, sf_dir=sf_dir)
 
 
+def _hotspot_stage(spark: SparkSession) -> DataFrame:
+    from ..operators.hotspots import hotspot_gi
+
+    return hotspot_gi(spark)
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     """Execute the DAG with checkpoint/resume; returns the run report."""
     from ..operators import dev_signals, features, huff, scoring
@@ -98,6 +104,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
             ["documents"],
         ),
         Stage("location_features", features.location_features, ["sites", "hex_grid", "competitors", "poi"]),
+        # the spatial-statistics gold layer: Gi* tiers are a committed
+        # table the app/heatmap surface reads, not an ad-hoc query — the
+        # analyst's hotspot map is pipeline output like every feature
+        Stage("hotspot_scores", _hotspot_stage, ["hex_grid"]),
         Stage("huff_features", huff.huff_features, ["sites", "hex_grid", "competitors"]),
         # consumes the COMMITTED feature snapshot (registered as a view by
         # the previous stage) — resuming after a crash re-reads parquet,

@@ -23,6 +23,7 @@ def test_pipeline_runs_and_resumes(geo, tmp_path_factory):
             "doc_tiles",
             "training_corpus",
             "location_features",
+            "hotspot_scores",
             "huff_features",
             "scored_locations",
         ]
