@@ -36,7 +36,11 @@ SF_DIR = "/root/testdata/sf0.01"
 def main(names: list[str]) -> int:
     import os
 
-    spark = get_spark(cores=8)
+    # no console progress bars: the \r-rewritten stage lines interleave
+    # with (and garble) the one-line-per-query verdict output
+    spark = get_spark(
+        cores=8, extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     con = duckdb.connect()
     for t in BASE_TABLES:
         p = f"{SF_DIR}/{t}.parquet"
