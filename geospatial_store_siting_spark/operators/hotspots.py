@@ -100,7 +100,7 @@ WITH {_x_cte(grid_src)},
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(pop) AS BIGINT) AS sx,
-         CAST(SUM(pop * pop) AS BIGINT) AS sxx
+         SUM(CAST(pop AS DECIMAL(19,0)) * CAST(pop AS DECIMAL(19,0))) AS sxx
   FROM x),
 ring AS (
   SELECT x.cell_id, {nbr} AS nbr
@@ -161,10 +161,15 @@ def _gi_from_frame(spark: SparkSession, x: DataFrame) -> DataFrame:
         F.sum("pop").cast("long").alias("wsum"),
     )
     w = sums.join(x.select("cell_id"), "cell_id")
+    # sxx accumulates as DECIMAL(38,0): the doc-density variant's per-cell
+    # counts can square past BIGINT at corpus scale (the moran_i posture);
+    # the z text CASTs it to DOUBLE, so downstream is unchanged
     stats = x.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pop").cast("long").alias("sx"),
-        F.sum(F.col("pop") * F.col("pop")).cast("long").alias("sxx"),
+        F.sum(
+            F.col("pop").cast("decimal(19,0)") * F.col("pop").cast("decimal(19,0)")
+        ).alias("sxx"),
     )
     xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
     s2 = f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {xbar} * {xbar})"
@@ -643,7 +648,7 @@ cube0 AS (
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS nn,
          CAST(SUM(n) AS BIGINT) AS sx,
-         CAST(SUM(n * n) AS BIGINT) AS sxx
+         SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sxx
   FROM cube0),
 ring AS (
   SELECT c.cell_id, c.day, {nbr} AS nbr, c.day + __o.dd AS nbr_day
