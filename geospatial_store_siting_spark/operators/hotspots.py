@@ -1,37 +1,45 @@
-"""Spatial-statistics layer over the hex lattice: Getis-Ord Gi* hotspot
-z-scores and DBSCAN-style density clusters.
+"""Spatial-statistics layer over the hex lattice.
 
 The reference ranks candidate cells by raw feature values
 (`/root/reference/notebooks/13_score_candidates.py` percentile tiers); a
-siting analyst's next question is *where the signal clusters spatially* —
-classic hotspot analysis. Both operators here are pure lattice relational
-plans (no spatial library, no Python in the hot path):
+siting analyst's next questions are *where the signal clusters
+spatially* and *where it is trending* — the classic spatial-statistics
+toolbox, all pure lattice relational plans (no spatial library, no
+Python in the hot path):
 
-- ``hotspot_gi``: Getis-Ord Gi* over each cell's k=1 disk (the 7-cell
-  neighborhood INCLUDING the center — the * variant). Neighborhood sums
-  come from the same generator-explode + cell-id equi-join every ring
-  feature uses (`rings.ring_pairs`); the global moments are one scalar
-  subquery cross-joined in (a 1-row broadcast). Every aggregate input is
-  exact BIGINT (population is integral by construction,
-  `hex_sql.grid_attrs_sql`), so all sums are order-independent and the
-  final z expression is a single shared double-precision text evaluated
-  identically by Spark and DuckDB.
+- ``hotspot_gi`` / ``hotspot_gi_docs``: Getis-Ord Gi* over each cell's
+  k=1 disk (center included — the * variant), on grid population and on
+  geotagged-span density. Spark plan: codegen disk-push generator + ONE
+  map-side-combining hash agg + existence join on the agg's partitioning
+  (see ``_gi_from_frame``; 1.6× over the explode-join form on Z-ordered
+  input, BENCH/hotspot_scale.py).
+- ``hotspot_clusters``: DBSCAN-on-grid — dense cells under ring-1
+  adjacency → the dedup loop's hash-min + pointer-doubling CC.
+- ``moran_i`` / ``moran_bivariate``: global spatial autocorrelation per
+  metro (uni- and cross-variable), DECIMAL(38,0) accumulation.
+- ``lisa_clusters``: Anselin local Moran's I with HH/LL/HL/LH quadrants
+  from integer sign comparisons.
+- ``emerging_hotspots``: daily space-time bins → ring-neighborhood
+  series → per-cell Mann-Kendall trend (tie-corrected variance,
+  continuity-corrected z).
+- ``st_gi_bins``: space-time Gi* (ring × day±1 neighborhoods over the
+  dense cube).
 
-- ``hotspot_clusters``: density clusters = connected components of
-  "dense" cells (population ≥ ``DENSE_POP``) under ring-1 adjacency —
-  DBSCAN on a hex grid degenerates to exactly this (eps = one cell,
-  minPts expressed as the per-cell density threshold). Components reuse
-  the distributed hash-min + pointer-doubling loop built for near-dup
-  docs (``dedup.connected_components``) — the same O(log diameter)
-  machinery serves both the corpus graph and the lattice graph.
+Determinism contract (the oracle gate): every aggregation input is an
+exact integer — BIGINT where products stay under 2^63, DECIMAL(19,0)
+pairwise products summed as DECIMAL(38,0) where they may not — so sums
+are order-independent; only the final z / I ratio is double, computed by
+ONE shared expression text, floor-rounded to 6 dp, with tier/quadrant
+labels derived from rounded values or integer signs (a 1-ulp wobble can
+never flip a label).
 
-Scale posture (100 TB): the Gi* plan is one generator explode (×7), one
-cell-keyed shuffle hash join against the grid, and one hash agg — linear
-in |grid|, no all-pairs anywhere; the scalar-moments side is a 1-row
-cross join (broadcast). The cluster plan's CC loop inherits the durable
-per-round stages + SHUFFLE_HASH pinning of the dedup loop (a stats
-misestimate that broadcast a continent-sized dense-cell table would
-serialize every round on the driver).
+Scale posture (100 TB): linear plans — generator explodes, cell-keyed
+hash joins/aggs, 1-row moments broadcasts; no all-pairs anywhere (MK is
+T²/2 per cell with T = bounded time slices). Corpus-fed inputs
+materialize ONCE before multi-reference stats texts (Catalyst inlines
+deterministic CTEs — measured 76 event scans without the boundary;
+plan-asserted single scan with it). The CC loop pins SHUFFLE_HASH and
+commits per-round durable stages.
 """
 
 from __future__ import annotations
@@ -70,8 +78,9 @@ def _hotspot_sql(grid_src: str) -> str:
 
     z_i = (W_i − x̄·m_i) / (S·sqrt((n·m_i − m_i²)/(n−1))) with
     W_i = Σ_{j∈disk(i)} x_j, m_i = |disk(i) ∩ grid| (edge cells have
-    fewer present neighbors), x̄ and S the global mean/std. n, m, W, Σx,
-    Σx² are exact BIGINTs; the z text is evaluated once per row from
+    fewer present neighbors), x̄ and S the global mean/std. n, m, W, Σx
+    are exact BIGINTs and Σx² an exact DECIMAL(38,0) (overflow headroom
+    for count-valued surfaces); the z text is evaluated once per row from
     those exact inputs, so both engines produce bit-identical doubles;
     the reported z is floor-rounded to 6 dp (``hex_sql.round_sql``) and
     the significance tier is derived from the ROUNDED value so a 1-ulp
