@@ -46,8 +46,9 @@ spark = get_spark(app_name=f"hotspot-scaling-{cores}", cores=cores,
                       "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
                   })
 tables.load_all(spark, sf_dir)
-big_path = os.path.join("/root/repo/.snapshots",
-                        f"hotspot_scale_grid_x{repl}_{layout_kind}")
+sf_tag = os.path.basename(sf_dir.rstrip("/"))
+big_path = os.path.join(%(repo)r, ".snapshots",
+                        f"hotspot_scale_grid_{sf_tag}_x{repl}_{layout_kind}")
 if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
     reps = spark.range(repl).select(F.col("id").alias("rep"))
     # translate each replica 4096 q-steps apart: way beyond ring reach,
@@ -90,14 +91,23 @@ spark.stop()
 """ % {"repo": REPO}
 
 
+_ran_before = False
+
+
 def run(cores: int, repl: int, sf_dir: str, layout_kind: str) -> dict:
+    global _ran_before
+    import time as _t
+
+    if _ran_before:
+        # settle BEFORE the next timed run, not after the last/failed one:
+        # the previous worker's dying JVM burns CPU for several seconds
+        # (see dedup_scale)
+        _t.sleep(20)
+    _ran_before = True
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(repl), sf_dir, layout_kind],
         capture_output=True, text=True, timeout=1200, check=False,
     )
-    import time as _t
-
-    _t.sleep(20)  # let the dying JVM's teardown CPU settle (see dedup_scale)
     for line in out.stdout.strip().splitlines()[::-1]:
         if line.startswith("{"):
             return json.loads(line)

@@ -60,9 +60,6 @@ DENSE_POP = 4500
 _Z95 = "CAST(1.645 AS DOUBLE)"
 _Z99 = "CAST(2.576 AS DOUBLE)"
 
-_GRID_SRC_SPARK = "SELECT cell_id, q, r, population FROM hex_grid"
-
-
 def _x_cte(grid_src: str) -> str:
     """The integer-valued analysis frame: population is integral by
     construction, so BIGINT-casting it makes every downstream SUM exact
@@ -153,18 +150,11 @@ def _gi_from_frame(spark: SparkSession, x: DataFrame) -> DataFrame:
     BroadcastNestedLoopJoin and fall out of whole-stage codegen —
     `rings.ring_pairs`). Same exact-integer inputs, same shared z text as
     the oracle ⇒ bit-identical values."""
-    items = ", ".join(
-        f"struct({int(dq)} as dq, {int(dr)} as dr)"
-        for dq, dr in hex_sql.ring_offsets(1)
-    )
-    contrib = x.select(
-        "q", "r", "pop", F.explode(F.expr(f"array({items})")).alias("o")
-    ).select(
-        F.expr(
-            hex_sql.cell_id_from_qr_sql("q + o.dq", "r + o.dr", RES_TRADE_AREA)
-        ).alias("cell_id"),
-        "pop",
-    )
+    from .rings import ring_pairs
+
+    contrib = ring_pairs(
+        spark, x, k=1, id_col="cell_id", res=RES_TRADE_AREA, extra_cols=["pop"]
+    ).select(F.col("neighbor_h3").alias("cell_id"), "pop")
     sums = contrib.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("pop").cast("long").alias("wsum"),
@@ -260,22 +250,16 @@ def hotspot_clusters(
     g = (spark.table("hex_grid") if grid_df is None else grid_df).select(
         "cell_id", "q", "r", F.col("population").cast("long").alias("pop")
     )
+    from .rings import ring_pairs
+
     dense = g.filter(F.col("pop") >= DENSE_POP).select("cell_id", "q", "r")
-    items = ", ".join(
-        f"struct({int(dq)} as dq, {int(dr)} as dr)"
-        for dq, dr in hex_sql.ring_offsets(1)
-        if (dq, dr) != (0, 0)
-    )
-    nbr = dense.select(
-        F.col("cell_id").alias("a"),
-        "q",
-        "r",
-        F.explode(F.expr(f"array({items})")).alias("o"),
-    ).select(
-        "a",
-        F.expr(
-            hex_sql.cell_id_from_qr_sql("q + o.dq", "r + o.dr", RES_TRADE_AREA)
-        ).alias("nbr"),
+    nbr = (
+        ring_pairs(
+            spark, dense, k=1, id_col="cell_id", res=RES_TRADE_AREA,
+            with_ring=True,
+        )
+        .filter(F.col("ring_k") > 0)  # exclude the center (self-loops)
+        .select(F.col("cell_id").alias("a"), F.col("neighbor_h3").alias("nbr"))
     )
     edges = nbr.join(
         dense.select(F.col("cell_id").alias("b")), nbr.nbr == F.col("b")

@@ -149,7 +149,9 @@ def _idw_sql(grid_src: str, sites_src: str) -> str:
     offs = ", ".join(
         f"({dq}, {dr})" for dq, dr in hex_sql.ring_offsets(IDW_RING)
     )
-    nbr = hex_sql.cell_id_from_qr_sql("s.q + __o.dq", "s.r + __o.dr", 8)
+    nbr = hex_sql.cell_id_from_qr_sql(
+        "s.q + __o.dq", "s.r + __o.dr", RES_TRADE_AREA
+    )
     # centroids recomputed HERE with all-DOUBLE casts, not read from the
     # grid view: the view's centroid columns are DECIMAL on Spark (bare
     # decimal literals) and DOUBLE on DuckDB — a latent 1-ulp divergence
