@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa_clusters": _q(hotspots.lisa_clusters),
         "st_gi_bins": _q(hotspots.st_gi_bins),
         "moran_bivariate": _q(hotspots.moran_bivariate),
+        "local_regression": _q(hotspots.local_regression),
         "salted_span_counts": _q(skew.salted_span_counts),
         "salted_topk_docs": _q(skew.salted_topk_docs),
         # --- ML / calibration / multimodal (iterative or binary → rows-only) ---
@@ -487,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "lisa_clusters": hotspots.lisa_clusters_oracle_sql(),
         "st_gi_bins": hotspots.st_gi_bins_oracle_sql(),
         "moran_bivariate": hotspots.moran_bivariate_oracle_sql(),
+        "local_regression": hotspots.local_regression_oracle_sql(),
         "salted_span_counts": skew.salted_span_counts_oracle_sql(),
         "salted_topk_docs": skew.salted_topk_docs_oracle_sql(),
         # ml_predictions / media_feature_summary: intentionally no oracle

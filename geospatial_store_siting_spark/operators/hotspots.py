@@ -293,6 +293,105 @@ def hotspot_clusters(
     )
 
 
+# ---------------------------------------------------------------------------
+# GWR-lite: local regression over each cell's disk neighborhood
+# ---------------------------------------------------------------------------
+
+_LR_RING = 2  # 19-cell disk: enough points for a stable local OLS
+
+
+def _local_reg_exprs() -> tuple[str, str]:
+    """Shared (slope, intercept) texts from exact disk sums
+    (m, sx, sy, sxy, sxx): the local OLS closed form
+    β = (m·Σxy − Σx·Σy)/(m·Σx² − (Σx)²), α = (Σy − β·Σx)/m.
+    Integer numerators/denominators (values are bounded closed-form
+    attributes, so products stay far under 2^63 regardless of grid
+    size); one double division each, floor-rounded to 6 dp."""
+    det = "(m * sxx - sx * sx)"
+    slope = (
+        f"CASE WHEN {det} = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(m * sxy - sx * sy AS DOUBLE) / CAST({det} AS DOUBLE) END"
+    )
+    intercept = (
+        f"((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+        f" / CAST(m AS DOUBLE))"
+    )
+    return slope, intercept
+
+
+def _local_regression_sql(grid_src: str) -> str:
+    """DuckDB twin in the pull form: each cell's ring-2 disk gathered by
+    neighbor-id join, then the closed-form OLS per cell."""
+    nbr = hex_sql.cell_id_from_qr_sql("x.q + __o.dq", "x.r + __o.dr", RES_TRADE_AREA)
+    slope, intercept = _local_reg_exprs()
+    return f"""
+WITH x AS (
+  SELECT cell_id, q, r,
+         CAST(population AS BIGINT) AS xv,
+         CAST(foot_traffic AS BIGINT) AS yv
+  FROM ({grid_src}) __g),
+ring AS (
+  SELECT x.cell_id, {nbr} AS nbr
+  FROM x CROSS JOIN {hex_sql.ring_offsets_values_sql(_LR_RING)} __o),
+s AS (
+  SELECT r.cell_id,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n.xv) AS BIGINT) AS sx,
+         CAST(SUM(n.yv) AS BIGINT) AS sy,
+         CAST(SUM(n.xv * n.yv) AS BIGINT) AS sxy,
+         CAST(SUM(n.xv * n.xv) AS BIGINT) AS sxx
+  FROM ring r JOIN x n ON r.nbr = n.cell_id
+  GROUP BY r.cell_id)
+SELECT cell_id, m AS n_disk,
+       CAST({hex_sql.round_sql(slope, 6)} AS DOUBLE) AS slope,
+       CAST({hex_sql.round_sql(intercept, 6)} AS DOUBLE) AS intercept
+FROM s"""
+
+
+def local_regression(spark: SparkSession) -> DataFrame:
+    """GWR-lite: per-cell OLS of foot traffic against population over the
+    ring-2 disk — the local market-elasticity surface (where does an
+    extra resident buy the most footfall). Spark plan is the disk-push
+    shape (``_gi_from_frame``): every cell pushes its (x, y, xy, x²)
+    moment vector to its symmetric 19-cell disk, ONE map-side-combining
+    hash agg gathers them, and the existence join drops phantom
+    targets."""
+    from .rings import ring_pairs
+
+    x = spark.table("hex_grid").select(
+        "cell_id",
+        "q",
+        "r",
+        F.col("population").cast("long").alias("xv"),
+        F.col("foot_traffic").cast("long").alias("yv"),
+    )
+    contrib = ring_pairs(
+        spark, x, k=_LR_RING, id_col="cell_id", res=RES_TRADE_AREA,
+        extra_cols=["xv", "yv"],
+    ).select(F.col("neighbor_h3").alias("cell_id"), "xv", "yv")
+    sums = contrib.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+    )
+    s = sums.join(x.select("cell_id"), "cell_id")
+    slope, intercept = _local_reg_exprs()
+    return s.select(
+        "cell_id",
+        F.col("m").alias("n_disk"),
+        F.expr(f"CAST({hex_sql.round_sql(slope, 6)} AS DOUBLE)").alias("slope"),
+        F.expr(
+            f"CAST({hex_sql.round_sql(intercept, 6)} AS DOUBLE)"
+        ).alias("intercept"),
+    )
+
+
+def local_regression_oracle_sql() -> str:
+    return _local_regression_sql(hex_sql.grid_sql())
+
+
 def _moran_biv_sql(grid_src: str) -> str:
     """Shared SQL for per-metro BIVARIATE Moran's I — does variable x
     co-locate with its neighbors' variable y? (population × pedestrian

@@ -453,3 +453,43 @@ class TestMoranBivariate:
             assert row["n_cells"] == n
             assert row["w_pairs"] == w
             assert abs(row["moran_xy"] - wr) <= 1e-6
+
+
+class TestLocalRegression:
+    def test_python_integer_recomputation(self, geo):
+        """Per-cell local OLS (slope/intercept over the ring-2 disk)
+        matches the closed form assembled from exact Python integers."""
+        from geospatial_store_siting_spark.operators import hotspots as hs
+
+        grid = geo.sql(
+            "SELECT cell_id, q, r, CAST(population AS BIGINT) AS xv,"
+            " CAST(foot_traffic AS BIGINT) AS yv FROM hex_grid"
+        ).toPandas()
+        out = hs.local_regression(geo).toPandas().set_index("cell_id")
+        assert len(out) == len(grid)
+        vals = {
+            (q, r): (c, int(xv), int(yv))
+            for c, q, r, xv, yv in grid.itertuples(index=False)
+        }
+        offs = hex_sql.ring_offsets(hs._LR_RING)
+        rng = np.random.default_rng(3)
+        pick = rng.choice(len(grid), size=min(200, len(grid)), replace=False)
+        for i in pick:
+            c, q, r = grid.loc[i, ["cell_id", "q", "r"]]
+            disk = [vals.get((q + dq, r + dr)) for dq, dr in offs]
+            disk = [d for d in disk if d is not None]
+            m = len(disk)
+            sx = sum(x for _, x, _ in disk)
+            sy = sum(y for _, _, y in disk)
+            sxy = sum(x * y for _, x, y in disk)
+            sxx = sum(x * x for _, x, _ in disk)
+            det = m * sxx - sx * sx
+            slope = 0.0 if det == 0 else (m * sxy - sx * sy) / det
+            intercept = (sy - slope * sx) / m
+            row = out.loc[c]
+            assert row["n_disk"] == m
+            assert abs(row["slope"] - np.floor(slope * 1e6 + 0.5) / 1e6) <= 1e-6
+            assert (
+                abs(row["intercept"] - np.floor(intercept * 1e6 + 0.5) / 1e6)
+                <= 1e-6
+            )
