@@ -102,15 +102,27 @@ def _stage_or_checkpoint(
     stale snapshot after a Spark-side-only fix).  Survives executor loss,
     unlike localCheckpoint's deserialized executor-memory blocks.  Without
     a data dir (ad-hoc plans over unregistered inputs): eager
-    localCheckpoint, reclaimed on plan GC."""
+    localCheckpoint, reclaimed on plan GC.
+
+    ``df`` may be a zero-arg callable returning the DataFrame: the warm
+    path then resolves the committed stage WITHOUT constructing the
+    producing plan at all (the 64-agg signature plan costs ~0.4 s of
+    driver-serial py4j round trips per construction — r6 profiling showed
+    dedup_incremental building it twice per call just to throw it away)."""
     if sf_dir:
         from ..sources import iceberg
 
+        key = _content_key(content_sql, code)
+        if not force:
+            committed = iceberg.read_stage_committed(spark, name, sf_dir, key)
+            if committed is not None:
+                return committed
+        frame = df() if callable(df) else df
         return iceberg.write_stage(
-            spark, df, name, sf_dir,
-            content_key=_content_key(content_sql, code), force=force,
+            spark, frame, name, sf_dir, content_key=key, force=force,
         )
-    return df.localCheckpoint(eager=True)
+    frame = df() if callable(df) else df
+    return frame.localCheckpoint(eager=True)
 
 
 def _content_key(content_sql: str, code=()) -> str:
@@ -369,10 +381,10 @@ def _packed_signatures(
     Catalyst analysis per query.  The oracle contract is unaffected
     (minhash_signatures / its SQL twin keep the mh0..mh63 schema; no
     oracle reads the stage itself)."""
-    packed_plan = minhash_signatures(spark).select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
-    )
+    def packed_plan() -> DataFrame:
+        arr = "array(" + ", ".join(f"mh{i}" for i in range(MINHASH_SEEDS)) + ")"
+        return minhash_signatures(spark).selectExpr("doc_id", f"{arr} AS sig")
+
     return _stage_or_checkpoint(
         spark, packed_plan, "minhash_sig_packed",
         minhash_signatures_sql() + "|packed-v1", sf_dir,
@@ -400,24 +412,26 @@ def _band_buckets(packed: DataFrame) -> DataFrame:
     shuffle-minimal AND the bucketable join key the committed ingest
     probe index (ingest_probe_index) is clustered on."""
     per_band = MINHASH_SEEDS // LSH_BANDS
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(bidx), F.slice("sig", bidx * per_band + 1, per_band))
-            for bidx in range(LSH_BANDS)
-        ]
-    )
+    # one server-parsed expression, not 16 xxhash64/slice Column trees
+    # (py4j round trips dominate warm build time); same SQL functions,
+    # same INT band literal -> identical bkey values as the Column form
+    band_keys = "array(" + ", ".join(
+        f"xxhash64({bidx}, slice(sig, {bidx * per_band + 1}, {per_band}))"
+        for bidx in range(LSH_BANDS)
+    ) + ")"
     carry = [c for c in packed.columns if c not in ("doc_id", "sig")]
     return packed.select(
-        "doc_id", *carry, F.explode(band_keys).alias("bkey")
+        "doc_id", *carry, F.explode(F.expr(band_keys)).alias("bkey")
     )
 
 
 def _sig_agree():
-    """Component-agreement count between two packed signatures sig_a/sig_b."""
-    return F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    """Component-agreement count between two packed signatures sig_a/sig_b
+    (one server-parsed expression — the lambda-Column form costs ~15 py4j
+    round trips per construction for the same plan)."""
+    return F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, x) -> acc + x)"
     )
 
 
@@ -1274,6 +1288,24 @@ def ingest_probe_index(
     from ..sources import iceberg
     from .sampling import _u_col
 
+    key = _ingest_index_key()
+    if not force:
+        # warm-path fast lane: resolve all three committed probe stages
+        # without constructing any producing plan (the packed-signature
+        # subplan alone is ~0.4 s of driver-serial plan build)
+        committed = [
+            iceberg.read_stage_bucketed_committed(
+                spark, name, sf_dir, key, bucket_col=col,
+                n_buckets=INGEST_INDEX_BUCKETS,
+            )
+            for name, col in (
+                ("ingest_fp_idx", "fp"),
+                ("ingest_band_idx", "bkey"),
+                ("ingest_sig_idx", "cdoc"),
+            )
+        ]
+        if all(c is not None for c in committed):
+            return committed[0], committed[1], committed[2]
     incoming = _u_col(key="doc_id", seed=INGEST_SEED) < F.lit(INGEST_FRACTION)
     corpus_docs = spark.table("documents").filter(~incoming)
     packed = _packed_signatures(spark, sf_dir)
@@ -1288,7 +1320,6 @@ def ingest_probe_index(
         .groupBy("fp")
         .agg(F.min("doc_id").alias("exact_match"))
     )
-    key = _ingest_index_key()
     fp_idx = iceberg.write_stage_bucketed(
         spark, corpus_fp_plan, "ingest_fp_idx", sf_dir, bucket_col="fp",
         n_buckets=INGEST_INDEX_BUCKETS, sort_cols=["fp"],

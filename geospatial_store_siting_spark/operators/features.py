@@ -815,113 +815,192 @@ FILL_ZERO = [
 ]
 
 
-def _grid_families_ring2(spark: SparkSession) -> DataFrame:
-    """Demographics + traffic + daytime pop (ring-1) AND the Huff family
-    (ring-2 trade area) in ONE ring-2 grid pass.
+def _cell_families(spark: SparkSession) -> DataFrame:
+    """Every cell-keyed family in ONE ring-3 pass: demographics/traffic/
+    daytime + Huff (grid rows, ring ≤ 1 / ≤ 2), competition ring counts
+    (ring ≤ 1 / ≤ 3) and poi/school counts (ring ≤ 1 / ≤ 2) over a single
+    unioned cell-keyed dim (grid ∪ competitors ∪ poi, tagged by ``src``).
 
-    The ring-1 aggregates are conditional on ring_k <= 1 — identical to
-    the standalone ring-1 join because every site's OWN cell is in the
-    grid (the grid is the distinct site-cell set), so no site loses its
-    demo row.  Huff share/demand use every ring-2 row, with the
-    per-distinct-cell denominator broadcast back exactly as in
-    operators/huff.py.  One ring expansion + one grid join + one hash agg
-    instead of two of each."""
+    One ring explode of the site base (37 offsets, carrying lat/lon/
+    site_type once) + ONE join on the high-cardinality cell key + ONE
+    site-keyed hash agg replace three explodes (19+37+19 offsets), three
+    joins and three aggs — at scale that is one shuffle of the pair table
+    instead of three, and two fewer site-keyed assembly joins (guide
+    §2.4).  Every aggregate keeps the EXACT text of its unfused twin,
+    restricted by ring_k (ring-1/2 conditions — identical row sets, since
+    ring-1 ⊂ ring-2 ⊂ ring-3 offsets) and, for counts, by ``src`` (sum/
+    avg/min/max aggregates skip the other sources' NULL attributes on
+    their own; conditional COUNTs must not count foreign rows).  Adding
+    rows that contribute NULL (skipped) or an explicit 0.0 term cannot
+    change any aggregate value, so the fused output is bit-identical —
+    oracle-checked against the unfused per-family SQL."""
     from .huff import _dist2_sql, _gravity2_sql, denominators_for_join
 
     sites = spark.table("sites")
-    grid = spark.table("hex_grid")
     pairs = rings.ring_pairs(
-        spark, sites, 2, extra_cols=["lat", "lon", "site_type"], with_ring=True
+        spark, sites, 3, extra_cols=["lat", "lon", "site_type"], with_ring=True
     )
-    joined = pairs.join(grid, pairs.neighbor_h3 == grid.cell_id, "inner").join(
-        denominators_for_join(spark), "cell_id", "left"
+    nd, nl, ns = "CAST(NULL AS DOUBLE)", "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)"
+    grid_attr_cols = [
+        "population", "median_income", "target_demo_pct", "college_pct",
+        "commute_inflow", "commute_outflow", "pedestrian_traffic",
+        "transit_score", "foot_traffic", "centroid_lat", "centroid_lon",
+    ]
+    dim = (
+        spark.table("hex_grid").selectExpr(
+            "cell_id AS d_cell", "'g' AS src", *grid_attr_cols,
+            f"{nl} AS entity_id", f"{ns} AS category", f"{ns} AS size_class",
+            f"{nd} AS foot_traffic_index",
+        )
+        .unionByName(
+            spark.table("competitors").selectExpr(
+                "h3_res8 AS d_cell", "'c' AS src",
+                *[f"{nd} AS {c}" for c in grid_attr_cols],
+                "competitor_id AS entity_id", "category",
+                f"{ns} AS size_class", f"{nd} AS foot_traffic_index",
+            )
+        )
+        .unionByName(
+            spark.table("poi").selectExpr(
+                "h3_res8 AS d_cell", "'p' AS src",
+                *[f"{nd} AS {c}" for c in grid_attr_cols],
+                "poi_id AS entity_id", "category", "size_class",
+                "foot_traffic_index",
+            )
+        )
     )
-    # agg list as server-parsed expression strings (one py4j call per agg,
-    # not ~30 Column ops each — same logical plan, identical arithmetic to
-    # the former Column form; this list is ~0.8 s of driver time otherwise)
+    denom = denominators_for_join(spark)
+    joined = pairs.join(dim, pairs.neighbor_h3 == dim.d_cell, "left").join(
+        denom, pairs.neighbor_h3 == denom.cell_id, "left"
+    )
+    # same expression texts as the unfused families (see their comments on
+    # why plain conditional COUNTs replace DISTINCT and why the agg list is
+    # server-parsed strings)
     r1 = lambda c: f"CASE WHEN ring_k <= 1 THEN {c} END"  # noqa: E731
-    dr = lambda x, n: f"FLOOR(({x}) * 1e{n} + 0.5) / 1e{n}"  # noqa: E731  (dround twin; 1e{n} is a DOUBLE literal in Spark SQL)
+    dr = lambda x, n: f"FLOOR(({x}) * 1e{n} + 0.5) / 1e{n}"  # noqa: E731
     g_site = _gravity2_sql(_dist2_sql("lat", "lon", "centroid_lat", "centroid_lon"))
     share = (
         f"({g_site}) / (COALESCE(denom, 0.0)"
         f" + CASE WHEN site_type = 'candidate' THEN ({g_site}) ELSE 0.0 END)"
     )
+    # src = 'g' is REQUIRED here, not just tidy: for non-grid rows the
+    # NULL centroid makes d2 NULL and GREATEST(NULL, floor²) = floor²
+    # (GREATEST skips NULLs), so share would evaluate to a real number —
+    # with a 0.0 divisor for non-candidate sites (ANSI DIVIDE_BY_ZERO)
+    r2share = f"CASE WHEN ring_k <= 2 AND src = 'g' THEN {share} END"
     pop1 = "SUM(" + r1("population") + ")"
     wsum = lambda c, n: dr("SUM(" + r1(c + " * population") + ") / " + pop1, n)  # noqa: E731
     daytime = "population + COALESCE(commute_inflow, 0.0) - COALESCE(commute_outflow, 0.0)"
     aggs = [
+        # grid families (attribute aggregates skip non-grid rows via NULLs)
         pop1 + " AS population_1ring",
         wsum("median_income", 4) + " AS median_income_1ring",
         wsum("target_demo_pct", 6) + " AS target_demo_pct_1ring",
         wsum("college_pct", 6) + " AS college_pct_1ring",
-        "COUNT(" + r1("1") + ") AS n_cells",
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'g' THEN 1 END) AS n_cells",
         dr("MAX(" + r1("pedestrian_traffic") + ")", 4) + " AS max_pedestrian_traffic",
         dr("AVG(" + r1("transit_score") + ")", 4) + " AS avg_transit_score",
         dr("SUM(" + r1("foot_traffic") + ")", 4) + " AS foot_traffic_sum",
         dr("SUM(" + r1(daytime) + ")", 4) + " AS daytime_pop_1ring",
-        dr(f"AVG({share})", 6) + " AS huff_market_share",
-        dr(f"SUM(({share}) * population)", 4) + " AS huff_expected_demand",
-    ]
-    return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
-
-
-def _competition_rings(spark: SparkSession) -> DataFrame:
-    """competition_ring(1) + competition_ring(3) in ONE ring-3 pass: the
-    ring-1 counts are conditional aggregates over ring_k <= 1 (ring-1
-    offsets ⊂ ring-3 offsets, so the conditional set is identical to the
-    standalone ring-1 join).  Assembly-only fusion — the public
-    per-family operators stay separate for the query surface."""
-    sites = spark.table("sites")
-    comp = spark.table("competitors").select(
-        F.col("h3_res8").alias("c_cell"), "competitor_id", "category"
-    )
-    pairs = rings.ring_pairs(spark, sites, 3, with_ring=True)
-    joined = pairs.join(comp, pairs.neighbor_h3 == comp.c_cell, "left")
-    # plain conditional COUNTs, not COUNT(DISTINCT ...): each competitor
-    # occupies exactly ONE cell and the ring offsets are distinct cells, so
-    # a (site, competitor) pair appears exactly once in the join — DISTINCT
-    # would be a no-op semantically but costs a 5-way Expand of the pair
-    # table (one replica per distinct agg) plus an extra shuffle; the plain
-    # form is one partial+final hash agg.  Values are identical (the
-    # standalone competition_ring keeps the reference's DISTINCT form and
-    # the oracle checks both).
-    aggs = [
-        "COUNT(CASE WHEN ring_k <= 1 THEN competitor_id END)"
+        dr(f"AVG({r2share})", 6) + " AS huff_market_share",
+        dr(f"SUM(({r2share}) * population)", 4) + " AS huff_expected_demand",
+        # competition rings
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'c' THEN entity_id END)"
         " AS competitors_1ring",
-        "COUNT(CASE WHEN ring_k <= 1 AND category = 'QSR_Burger'"
-        " THEN competitor_id END) AS burger_competitors_1ring",
-        "COUNT(CASE WHEN ring_k <= 1 AND category = 'Coffee'"
-        " THEN competitor_id END) AS coffee_competitors_1ring",
-        "COUNT(competitor_id) AS competitors_3ring",
-    ]
-    return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
-
-
-def _poi_school_ring(spark: SparkSession) -> DataFrame:
-    """poi_ring(1) + school_ring(2) in ONE ring-2 pass (same conditional
-    trick as _competition_rings)."""
-    sites = spark.table("sites")
-    poi = spark.table("poi").select(
-        F.col("h3_res8").alias("p_cell"), "poi_id", "size_class", "category",
-        "foot_traffic_index",
-    )
-    pairs = rings.ring_pairs(spark, sites, 2, with_ring=True)
-    joined = pairs.join(poi, pairs.neighbor_h3 == poi.p_cell, "left")
-    # plain conditional COUNTs — same one-cell-per-POI argument as
-    # _competition_rings: DISTINCT would cost a 4-way Expand for identical
-    # values
-    aggs = [
-        "COUNT(CASE WHEN ring_k <= 1 THEN poi_id END) AS poi_1ring",
-        "COUNT(CASE WHEN ring_k <= 1 AND size_class = 'anchor'"
-        " THEN poi_id END) AS anchor_poi_1ring",
-        "COUNT(CASE WHEN ring_k <= 1 AND category = 'office'"
-        " THEN poi_id END) AS office_poi_count_1ring",
-        "FLOOR((SUM(CASE WHEN ring_k <= 1 THEN COALESCE(foot_traffic_index, 0.0)"
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'c' AND category = 'QSR_Burger'"
+        " THEN entity_id END) AS burger_competitors_1ring",
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'c' AND category = 'Coffee'"
+        " THEN entity_id END) AS coffee_competitors_1ring",
+        "COUNT(CASE WHEN src = 'c' THEN entity_id END) AS competitors_3ring",
+        # poi + school rings
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'p' THEN entity_id END) AS poi_1ring",
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'p' AND size_class = 'anchor'"
+        " THEN entity_id END) AS anchor_poi_1ring",
+        "COUNT(CASE WHEN ring_k <= 1 AND src = 'p' AND category = 'office'"
+        " THEN entity_id END) AS office_poi_count_1ring",
+        "FLOOR((SUM(CASE WHEN ring_k <= 1 AND src = 'p'"
+        " THEN COALESCE(foot_traffic_index, 0.0)"
         " ELSE 0.0 END)) * 1e4 + 0.5) / 1e4 AS total_foot_traffic_1ring",
-        "COUNT(CASE WHEN category = 'school' THEN poi_id END)"
-        " AS school_count_2ring",
+        "COUNT(CASE WHEN ring_k <= 2 AND src = 'p' AND category = 'school'"
+        " THEN entity_id END) AS school_count_2ring",
     ]
     return joined.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
+
+
+def _metro_families(spark: SparkSession) -> DataFrame:
+    """competition_distance + cannibalization fused into ONE metro-blocked
+    broadcast pass (below-gate assembly form only): the two dims union
+    into one broadcast (competitors ∪ own stores, tagged by ``src``), the
+    haversine evaluates once per pair, and one site-keyed agg emits all
+    six distance columns.  Aggregate texts match the unfused twins with
+    src (and self-exclusion, for the store side) folded into each CASE:
+    foreign-source rows contribute NULL (MIN/COUNT skip) or an explicit
+    0.0 sum term — values identical, one broadcast join + one shuffle
+    instead of two of each."""
+    comp = spark.table("competitors").selectExpr(
+        "metro AS d_metro", "lat AS d_lat", "lon AS d_lon",
+        "competitor_id AS entity_id", "category", "'c' AS src",
+    )
+    stores = (
+        spark.table("sites")
+        .filter(F.col("site_type") == "store")
+        .selectExpr(
+            "metro AS d_metro", "lat AS d_lat", "lon AS d_lon",
+            "site_id AS entity_id", "CAST(NULL AS STRING) AS category",
+            "'s' AS src",
+        )
+    )
+    sites = spark.table("sites").select("site_id", "metro", "lat", "lon")
+    pairs = sites.join(
+        F.broadcast(comp.unionByName(stores)), sites.metro == F.col("d_metro"), "inner"
+    ).withColumn(
+        "dist_miles",
+        haversine_col(F.col("lat"), F.col("lon"), F.col("d_lat"), F.col("d_lon")),
+    )
+    dr = lambda x, n: f"FLOOR(({x}) * 1e{n} + 0.5) / 1e{n}"  # noqa: E731
+    grav = f"1.0 / (dist_miles * dist_miles + {GRAVITY_EPS})"
+    own = "src = 's' AND site_id <> entity_id"
+    aggs = [
+        dr("MIN(CASE WHEN src = 'c' THEN dist_miles END)", 4)
+        + " AS nearest_competitor_miles",
+        dr("MIN(CASE WHEN src = 'c' AND category = 'QSR_Burger'"
+           " THEN dist_miles END)", 4) + " AS nearest_same_category_dist",
+        dr(f"SUM(CASE WHEN src = 'c' AND dist_miles <= {MILES}"
+           f" THEN {grav} ELSE 0.0 END)", 4) + " AS competitive_intensity",
+        f"COUNT(CASE WHEN src = 'c' AND dist_miles <= {MILES}"
+        " THEN entity_id END) AS competitors_3mi",
+        dr(f"SUM(CASE WHEN {own} AND dist_miles <= {MILES}"
+           f" THEN {grav} ELSE 0.0 END)", 4) + " AS cannibalization_risk",
+        dr(f"MIN(CASE WHEN {own} THEN dist_miles END)", 4)
+        + " AS nearest_own_store_miles",
+    ]
+    return pairs.groupBy("site_id").agg(*[F.expr(a) for a in aggs])
+
+
+# assembly output order — frozen (the oracle compares schema; the fused
+# assembly must emit exactly the pre-fusion column sequence)
+_ASSEMBLY_COLS = [
+    "site_id", "metro", "site_type", "drive_thru", "h3_res8",
+    # grid families
+    "population_1ring", "median_income_1ring", "target_demo_pct_1ring",
+    "college_pct_1ring", "n_cells", "max_pedestrian_traffic",
+    "avg_transit_score", "foot_traffic_sum", "daytime_pop_1ring",
+    "huff_market_share", "huff_expected_demand",
+    # competition rings
+    "competitors_1ring", "burger_competitors_1ring",
+    "coffee_competitors_1ring", "competitors_3ring",
+    # distance family
+    "nearest_competitor_miles", "nearest_same_category_dist",
+    "competitive_intensity", "competitors_3mi",
+    # poi + school
+    "poi_1ring", "anchor_poi_1ring", "office_poi_count_1ring",
+    "total_foot_traffic_1ring", "school_count_2ring",
+    # property
+    "drive_thru_capable_flag", "parking_spaces", "square_feet",
+    "rent_per_sqft",
+    # cannibalization
+    "cannibalization_risk", "nearest_own_store_miles",
+]
 
 
 def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFrame:
@@ -934,39 +1013,73 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
     and null-filled (`notebooks/10_feature_engineering.py:759-789`), plus
     the derived trade_area_quality / market_saturation columns (L791-803).
 
-    Assembly plan: the base is repartitioned on site_id once; every family
-    aggregate is already hash-partitioned on site_id by its groupBy, so the
-    family left joins reuse that partitioning — one shuffle of the base,
-    zero re-shuffles of the families (scale-invariant: partition count
-    follows spark.sql.shuffle.partitions).  Demographics+traffic+daytime
-    AND the Huff family are fused into ONE ring-2 grid pass; ring-1/ring-3
-    competition share a ring-3 pass; schools ride the k=2 POI pass."""
-    base = spark.table("sites").select(
-        "site_id", "metro", "site_type", "drive_thru", "h3_res8"
-    ).repartition("site_id")
-    # Distance families: the metro-blocked broadcast joins only below the
+    Assembly plan (r6): ALL cell-keyed families run as ONE ring-3 pass
+    (_cell_families) and, below the broadcast gate, both metro-blocked
+    distance families run as ONE broadcast pass (_metro_families) — two
+    family joins instead of six.  Property columns ride the base
+    projection directly (the 5-row medians dim broadcasts on metro, so
+    folding them in removes a site_id shuffle + join outright).  The base
+    is repartitioned on site_id once; each family aggregate is already
+    hash-partitioned on site_id by its groupBy, so the family left joins
+    reuse that partitioning (scale-invariant: partition count follows
+    spark.sql.shuffle.partitions)."""
+    sites = spark.table("sites")
+    med = (
+        sites.filter(F.col("site_type") == "candidate")
+        .groupBy("metro")
+        .agg(
+            F.expr("percentile(parking_spaces, 0.5)").alias("med_parking"),
+            F.expr("percentile(rent_per_sqft, 0.5)").alias("med_rent"),
+        )
+    )
+    # property columns fold into the base projection (identical exprs to
+    # property_features — the broadcast med join adds no shuffle)
+    base = (
+        sites.select(
+            "site_id", "metro", "site_type", "drive_thru", "h3_res8",
+            "parking_spaces", "square_feet", "rent_per_sqft",
+        )
+        .join(F.broadcast(med), "metro", "left")
+        .select(
+            "site_id", "metro", "site_type", "drive_thru", "h3_res8",
+            F.when(F.col("drive_thru") > 0, 1.0).otherwise(0.0).alias(
+                "drive_thru_capable_flag"
+            ),
+            F.coalesce(
+                F.col("parking_spaces"), F.floor(F.col("med_parking")).cast("double")
+            ).alias("parking_spaces"),
+            F.col("square_feet"),
+            dround(F.coalesce(F.col("rent_per_sqft"), F.col("med_rent")), 4).alias(
+                "rent_per_sqft"
+            ),
+        )
+        .repartition("site_id")
+    )
+    # Distance families: the metro-blocked broadcast pass only below the
     # broadcast gate (block key has ~5 distinct values — a skew/parallelism
     # ceiling if it ever shuffles); above it the assembly switches to the
     # windowed cell-prefix plans (high-cardinality hash joins, no metro
     # key, no full-table broadcast).  The gate reads manifest row counts —
     # no count() job at plan time.
-    if _dim_small(spark.table("competitors"), table_hint="competitors"):
-        dist_family = competition_distance(spark)
-    else:
-        dist_family = competition_distance_windowed(spark)
-    stores_dim = spark.table("sites").filter(F.col("site_type") == "store")
-    if _dim_small(stores_dim, table_hint="sites"):
-        cann_family = cannibalization(spark)
-    else:
-        cann_family = cannibalization_windowed(spark)
-    out = (
-        base.join(_grid_families_ring2(spark), "site_id", "left")
-        .join(_competition_rings(spark), "site_id", "left")
-        .join(dist_family, "site_id", "left")
-        .join(_poi_school_ring(spark), "site_id", "left")
-        .join(property_features(spark), "site_id", "left")
-        .join(cann_family, "site_id", "left")
+    comp_small = _dim_small(spark.table("competitors"), table_hint="competitors")
+    stores_small = _dim_small(
+        spark.table("sites").filter(F.col("site_type") == "store"),
+        table_hint="sites",
     )
+    if comp_small and stores_small:
+        dist_families = [_metro_families(spark)]
+    else:
+        dist_families = [
+            competition_distance(spark)
+            if comp_small
+            else competition_distance_windowed(spark),
+            cannibalization(spark)
+            if stores_small
+            else cannibalization_windowed(spark),
+        ]
+    out = base.join(_cell_families(spark), "site_id", "left")
+    for fam in dist_families:
+        out = out.join(fam, "site_id", "left")
     dev_cols: list[str] = []
     if dev_signals:
         # optional Phase-3 module (reference DEV_SIGNALS_ENABLED gate,
@@ -988,7 +1101,7 @@ def location_features(spark: SparkSession, dev_signals: bool = False) -> DataFra
     fill = set(FILL_ZERO + dev_cols)
     cols = [
         f"CAST(COALESCE({c}, 0.0) AS DOUBLE) AS {c}" if c in fill else c
-        for c in out.columns
+        for c in _ASSEMBLY_COLS + dev_cols
     ]
     taq = (
         "FLOOR((COALESCE(median_income_1ring, 0.0) / 100000.0 * 0.3"

@@ -91,6 +91,63 @@ def write_stage(
     return snapshots.commit_dataframe(spark, df, path)
 
 
+def read_stage_committed(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    content_key: str,
+    namespace: str = "stages",
+    root: str | None = None,
+) -> DataFrame | None:
+    """Reader of an ALREADY-committed stage, or None — the warm-path fast
+    lane: resolves the same content-keyed identity as ``write_stage`` but
+    never needs the producing DataFrame, so a caller can skip building
+    the (possibly expensive) plan entirely when the stage is committed.
+    Returns exactly what write_stage's warm branch returns."""
+    if iceberg_available(spark):
+        ident = f"{CATALOG}.{namespace}.{name}"
+        if _iceberg_key_matches(spark, ident, f"{sf_dir}|{content_key}"):
+            return spark.table(ident)
+        return None
+    from . import snapshots
+
+    path = stage_path(None, name, sf_dir, content_key, root=root)
+    manifest = os.path.join(path, "_manifest.json")
+    if not os.path.exists(manifest):
+        return None
+    snapshots.touch_manifest(manifest)
+    return spark.read.parquet(path)
+
+
+def read_stage_bucketed_committed(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    content_key: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    namespace: str = "stages",
+    root: str | None = None,
+) -> DataFrame | None:
+    """``read_stage_committed`` for bucketed probe stages: the committed
+    bucketed reader (exchange-free scan side) or None, without building
+    the producing plan."""
+    if iceberg_available(spark):
+        ident = f"{CATALOG}.{namespace}.{name}"
+        key = f"{sf_dir}|{content_key}|bucket:{bucket_col}x{n_buckets}"
+        if _iceberg_key_matches(spark, ident, key):
+            return spark.table(ident)
+        return None
+    from . import snapshots
+
+    path = stage_path(None, name, sf_dir, content_key, root=root)
+    manifest = os.path.join(path, "_manifest.json")
+    if not os.path.exists(manifest):
+        return None
+    snapshots.touch_manifest(manifest)
+    return snapshots.read_bucketed(spark, path)
+
+
 def write_stage_bucketed(
     spark: SparkSession,
     df: DataFrame,

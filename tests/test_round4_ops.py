@@ -16,10 +16,11 @@ def _optimized(df) -> str:
 
 class TestAssemblyDistanceGate:
     def test_below_gate_uses_metro_blocked_broadcast(self, geo):
-        # sf0.001 dims are tiny: the exact metro-blocked joins are chosen
+        # sf0.001 dims are tiny: the exact metro-blocked join is chosen —
+        # r6 fuses both distance families into ONE broadcast pass on the
+        # shared d_metro block key (features._metro_families)
         plan = _optimized(features.location_features(geo))
-        assert "c_metro" in plan  # competition_distance's block key
-        assert "cb_metro" in plan  # cannibalization's block key
+        assert "d_metro" in plan  # the fused families' block key
         assert "p_coarse" not in plan and "r_coarse" not in plan
 
     def test_above_gate_uses_windowed_plans(self, geo, monkeypatch):
@@ -27,6 +28,7 @@ class TestAssemblyDistanceGate:
         plan = _optimized(features.location_features(geo))
         # no metro-key join anywhere: the 5-distinct-value block key is the
         # scale killer the windowed plans remove
+        assert "d_metro" not in plan  # the fused broadcast pass
         assert "c_metro" not in plan
         assert "cb_metro" not in plan
         assert "s_metro" not in plan  # huff denominator's supply block key
@@ -76,6 +78,59 @@ class TestAssemblyDistanceGate:
             | F.col("d_w").isNull()
             | (F.abs(F.col("d_b") - F.col("d_w")) > 1e-6)
         ).count()
+        assert bad == 0
+
+
+class TestFusedAssemblyEquivalence:
+    """r6: the assembly fuses every cell-keyed family into one ring-3 pass
+    and both metro-blocked distance families into one broadcast pass; the
+    standalone per-family operators are the semantic ground truth, so the
+    fused columns must match them value-for-value (post null-fill)."""
+
+    def test_fused_families_match_standalone_operators(self, geo):
+        gold = features.location_features(geo)
+        fam_frames = {
+            "demo": features.demographics_ring(geo, 1),
+            "traffic": features.traffic_ring(geo, 1),
+            "comp1": features.competition_ring(geo, 1),
+            "comp3": features.competition_ring(geo, 3),
+            "dist": features.competition_distance(geo),
+            "poi": features.poi_ring(geo, 1),
+            "school": features.school_ring(geo, 2),
+            "cann": features.cannibalization(geo),
+        }
+        checked = {
+            "demo": ["population_1ring", "median_income_1ring", "n_cells"],
+            "traffic": ["max_pedestrian_traffic", "avg_transit_score"],
+            "comp1": ["competitors_1ring", "burger_competitors_1ring",
+                      "coffee_competitors_1ring"],
+            "comp3": ["competitors_3ring"],
+            "dist": ["nearest_competitor_miles", "competitive_intensity",
+                     "competitors_3mi"],
+            "poi": ["poi_1ring", "anchor_poi_1ring",
+                    "total_foot_traffic_1ring"],
+            "school": ["school_count_2ring"],
+            "cann": ["cannibalization_risk", "nearest_own_store_miles"],
+        }
+        expected = geo.table("sites").select("site_id")
+        exprs = []
+        for fam, frame in fam_frames.items():
+            cols = checked[fam]
+            expected = expected.join(
+                frame.select("site_id", *[F.col(c).alias(f"{fam}_{c}") for c in cols]),
+                "site_id", "left",
+            )
+            exprs += [(c, f"{fam}_{c}") for c in cols]
+        j = gold.join(expected, "site_id")
+        # n_cells is unfilled; every other checked column follows the
+        # null-fill contract (standalone-family NULL -> 0.0)
+        conds = [
+            f"NOT (({g} IS NULL AND {e} IS NULL) OR {g} <=> COALESCE({e}, "
+            + ("NULL" if g == "n_cells" else "0.0")
+            + "))"
+            for g, e in exprs
+        ]
+        bad = j.filter(F.expr(" OR ".join(conds))).count()
         assert bad == 0
 
 
