@@ -558,9 +558,13 @@ def simhash(spark: SparkSession) -> DataFrame:
     uses split_part positions, which produce the same ≤CAP tokens on the
     single-space-separated corpus but would rescan the text per position
     on the Spark side."""
-    # REPARTITION before the heavy map work: the documents scan is often a
-    # single parquet row-group (one task), which would serialize the
-    # explode+md5+60-sum pipeline on one core.
+    # REPARTITION before the heavy map work — but only ABOVE the corpus
+    # gate: a big corpus behind few scan splits (one giant parquet
+    # row-group) would serialize the explode+md5 pipeline on one core.
+    # Below the gate the map work is trivial and the exchange is pure
+    # overhead (measured at sf0.1: 0.83 s -> 0.66 s warm and 3.8 s ->
+    # 1.1 s cold without it — the extra stage costs a codegen compile,
+    # an AQE round and a shuffle of every doc row).
     #
     # Bit extraction: Spark decodes the 15 hex nibbles in ONE conv() to a
     # 60-bit BIGINT and tests bits with shift/mask (integer ops), instead
@@ -568,26 +572,39 @@ def simhash(spark: SparkSession) -> DataFrame:
     # the nibble path is bit (4*(14 - b//4) + b%4) of the conv value, so
     # the signatures are identical; the oracle keeps the dialect-neutral
     # nibble decode (DuckDB has no conv) and the driver hash-checks both.
-    sums = ",\n         ".join(
-        f"SUM(CASE WHEN (v >> {4 * (14 - b // 4) + b % 4}) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
+    #
+    # Accumulation is BIT-PACKED (r6): instead of 60 SUM(±1) aggregates
+    # (a 60-long buffer per group), each token packs its 60 bits into 8
+    # byte-lane longs (bit b -> lane b%8 of pack b//8) and the agg keeps
+    # 8 SUMs + COUNT.  Lane sums stay exact: ≤ CAP=64 tokens per doc per
+    # 8-bit lane, no carry.  sign(Σ±1) == (2·ones > n_tokens), so the
+    # emitted signature is bit-identical (equality-tested vs the unpacked
+    # form; the oracle hash checks it against the INSTR chain).
+    packs = ", ".join(
+        "SUM(" + " + ".join(
+            f"(((v >> {4 * (14 - b // 4) + b % 4}) & 1) << {8 * i})"
+            for i, b in enumerate(range(8 * j, min(8 * j + 8, SIMHASH_BITS)))
+        ) + f") AS p{j}"
+        for j in range((SIMHASH_BITS + 7) // 8)
     )
     sig = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(SIMHASH_BITS)
+        f"CASE WHEN 2 * ((p{b // 8} >> {8 * (b % 8)}) & 255) > nt"
+        f" THEN {2 ** b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
     )
+    hint = "" if _corpus_small(spark) else "/*+ REPARTITION(doc_id) */ "
     sql = f"""
 WITH tok AS (
   SELECT doc_id, CAST(conv(substring(md5(tok), 1, {SIMHASH_BITS // 4}), 16, 10) AS BIGINT) AS v
   FROM (
-    SELECT /*+ REPARTITION(doc_id) */ doc_id,
+    SELECT {hint}doc_id,
            explode(slice(split(text, ' '), 1, {SIMHASH_TOKEN_CAP})) AS tok
     FROM documents
   ) __pos
 ),
 acc AS (
-  SELECT doc_id,
-         {sums}
+  SELECT doc_id, COUNT(*) AS nt,
+         {packs}
   FROM tok GROUP BY doc_id
 )
 SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM acc"""

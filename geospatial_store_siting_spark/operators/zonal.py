@@ -143,7 +143,7 @@ IDW_RING = 2
 IDW_FLOOR2 = "0.0025"  # miles², = DISTANCE_FLOOR_MILES²
 
 
-def _idw_sql(grid_src: str, sites_src: str) -> str:
+def _idw_sql(grid_src: str, sites_src: str, exact_acc: bool = False) -> str:
     from ..config import HEX_SIZE_DEG, RES_TRADE_AREA
 
     offs = ", ".join(
@@ -178,6 +178,24 @@ def _idw_sql(grid_src: str, sites_src: str) -> str:
     w_micros = f"CAST(FLOOR({w} * 1000000.0 + 0.5) AS BIGINT)"
     s_cents = "CAST(FLOOR(annual_sales * 100.0 + 0.5) AS BIGINT)"
     idw = "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(100.0 AS DOUBLE))"
+    if exact_acc:
+        # Spark-side headroom (ADVICE r5): a floor-distance sample yields
+        # w_micros≈4e8 and s_cents≈2.5e8 (~1e17 per row) — ~90 such rows in
+        # one cell's disk overflow a BIGINT num at corpus scale, the exact
+        # class commit 007720d moved the Gi* Σx² to DECIMAL(38,0) for.
+        # Accumulate num/den as DECIMAL(38,0) and CAST to DOUBLE only in
+        # the final division: identical values wherever BIGINT did not
+        # overflow (same exact integer → same double).  DuckDB needs no
+        # twin (its BIGINT SUM aggregates through HUGEINT), so the ORACLE
+        # TEXT — which the driver fingerprints — keeps the default form.
+        num_agg = (
+            f"SUM(CAST({w_micros} AS DECIMAL(19,0))"
+            f" * CAST({s_cents} AS DECIMAL(19,0))) AS num"
+        )
+        den_agg = f"SUM(CAST({w_micros} AS DECIMAL(19,0))) AS den"
+    else:
+        num_agg = f"CAST(SUM({w_micros} * {s_cents}) AS BIGINT) AS num"
+        den_agg = f"CAST(SUM({w_micros}) AS BIGINT) AS den"
     return f"""
 WITH stores AS (
   SELECT site_id, q, r, lat, lon, annual_sales
@@ -193,8 +211,8 @@ joined AS (
 contrib AS (
   SELECT cell_id,
          CAST(COUNT(*) AS BIGINT) AS n_samples,
-         CAST(SUM({w_micros} * {s_cents}) AS BIGINT) AS num,
-         CAST(SUM({w_micros}) AS BIGINT) AS den
+         {num_agg},
+         {den_agg}
   FROM joined
   GROUP BY cell_id)
 SELECT cell_id, n_samples,
@@ -208,6 +226,7 @@ def idw_sales_surface(spark: SparkSession) -> DataFrame:
         _idw_sql(
             "SELECT cell_id, q, r FROM hex_grid",
             "SELECT site_id, q, r, lat, lon, annual_sales FROM sites",
+            exact_acc=True,
         )
     )
 

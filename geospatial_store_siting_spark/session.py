@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Constraint propagation is O(constraints²) optimizer work and
+        # halves cold planning on the wide feature/assembly plans
+        # (measured r6: hex_feature_join first run 6.6 s -> 3.2 s; warm
+        # unchanged).  Nothing here needs the inferred predicates: every
+        # join key in the engine is non-null by construction (synthesized
+        # ids / closed-form cell ids), and the one measured case where an
+        # INFERRED IsNotNull reached a scan it hurt correctness-adjacent
+        # behavior (sources/documents.geotagged_spans CAST guard).  Not
+        # scale-dependent: the same plans ship to the cluster, minus
+        # redundant optimizer passes.  Overridable via extra_conf.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # local-mode split sizing, scaled to the session's cores: bench
         # corpora are O(1 GB) in ~30 MB files, and a FIXED split size
         # serves only one parallelism level — 128 MB packs them into ~11

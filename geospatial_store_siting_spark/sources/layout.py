@@ -125,6 +125,11 @@ def row_groups_touched(
             total += 1
             sq = rg.column(idx[q]).statistics
             sr = rg.column(idx[r]).statistics
+            if sq is None or sr is None:
+                # stats disabled (or an all-null chunk): a stats-aware
+                # reader cannot prune this group, so count it touched
+                touched += 1
+                continue
             if (
                 sq.min <= q_range[1] and sq.max >= q_range[0]
                 and sr.min <= r_range[1] and sr.max >= r_range[0]

@@ -581,8 +581,12 @@ def st_bins_stream(events: DataFrame, sites: DataFrame) -> DataFrame:
     aggregation (no foreachBatch: unlike the iterative isochrone twin,
     binning IS one windowed plan).  Day ids come from the window start
     (UTC session ⇒ midnight-aligned windows), so the stream's bins equal
-    the batch ``FLOOR(unix_timestamp/86400)`` bins row-for-row — the
-    batch-equivalence test asserts it.
+    the batch ``FLOOR(unix_timestamp/86400)`` bins row-for-row FOR
+    EVENTS ARRIVING WITHIN THE 1-DAY WATERMARK — the batch-equivalence
+    test asserts it on near-ordered replay.  Under real disorder the
+    watermark DROPS events more than a day late, which the batch twin
+    still counts: treat the stream as the batch's equal only inside the
+    lateness bound, not as an exact substitute under arbitrary disorder.
 
     State at scale: per-(cell, day) running counts, dropped once the
     1-day watermark passes — bounded by active cells × ~2 days, the
