@@ -44,7 +44,7 @@ def main() -> None:
         },
     )
     tables.register_tables(spark, "/root/testdata/sf0.1")
-    big_path = "/root/repo/.snapshots/dedup_scale_docs_x128"
+    big_path = "/root/repo/.snapshots/dedup_scale_docs_x512"
     spark.read.parquet(big_path).createOrReplaceTempView("documents")
     spark.table("documents").count()
 

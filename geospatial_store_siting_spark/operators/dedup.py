@@ -209,7 +209,7 @@ def ngram_jaccard_pairs(
     pin cache for the whole session)."""
     sh = _stage_or_checkpoint(
         spark,
-        shingles(spark).distinct(),
+        lambda: shingles(spark).distinct(),
         "distinct_shingles",
         f"SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s",
         sf_dir,
@@ -382,12 +382,21 @@ def _packed_signatures(
     (minhash_signatures / its SQL twin keep the mh0..mh63 schema; no
     oracle reads the stage itself)."""
     def packed_plan() -> DataFrame:
-        arr = "array(" + ", ".join(f"mh{i}" for i in range(MINHASH_SEEDS)) + ")"
+        # array<int>, not array<bigint>: every component is
+        # (a·h + b) mod (2^31 − 1) < 2^31 by construction, so INT is
+        # lossless — and the signature stream is the ingest service's
+        # dominant memory traffic (the refine join streams the whole
+        # corpus side), so halving the element width halves the bytes of
+        # the heaviest scan (guide §2.3 "narrower types").  Agreement
+        # compares and est arithmetic are value-identical.
+        arr = "array(" + ", ".join(
+            f"CAST(mh{i} AS INT)" for i in range(MINHASH_SEEDS)
+        ) + ")"
         return minhash_signatures(spark).selectExpr("doc_id", f"{arr} AS sig")
 
     return _stage_or_checkpoint(
         spark, packed_plan, "minhash_sig_packed",
-        minhash_signatures_sql() + "|packed-v1", sf_dir,
+        minhash_signatures_sql() + "|packed-v2-int", sf_dir,
         code=(shingles, minhash_signatures), force=force_stage,
     )
 
@@ -651,8 +660,8 @@ def simhash_pairs(
     no all-pairs on the Spark side, no corpus broadcast; one shuffle on
     the (band, segment) key, candidates refined with an integer popcount."""
     sig = _stage_or_checkpoint(
-        spark, simhash(spark), "simhash_signatures", simhash_oracle_sql(), sf_dir,
-        code=(simhash,),
+        spark, lambda: simhash(spark), "simhash_signatures",
+        simhash_oracle_sql(), sf_dir, code=(simhash,),
     )
     band_structs = F.array(
         *[
@@ -1102,7 +1111,7 @@ def decontaminate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     lo, hi = SPLIT_BOUNDS
     sh = _stage_or_checkpoint(
         spark,
-        shingles(spark).distinct(),
+        lambda: shingles(spark).distinct(),
         "distinct_shingles",
         f"SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s",
         sf_dir,
@@ -1396,17 +1405,18 @@ def _classify_batch(
     exploded band keys (dedup_incremental splits one explode over the
     shared stage) pass them in instead of re-exploding.
 
-    Join shape above the gate: every batch-vs-corpus probe is an INNER
-    join with the shuffle-hash hint on the BATCH side — the per-partition
+    Join shape above the gate: every batch-vs-corpus probe is a join
+    with the shuffle-hash hint on the BATCH side — the per-partition
     hash map is built from the batch (bounded), the corpus streams past
     it, and when the corpus side is a committed bucketed index
     (ingest_probe_index) it contributes NO exchange at all.  The exact
-    probe is inner + left-join-back rather than a direct left-outer so
-    the build side is never corpus-sized (left-outer shuffled-hash must
-    build the right/corpus side)."""
-    exact_hits = (
+    probe is ONE direct left-outer shuffled-hash join with the batch as
+    the BUILD side (Spark ≥3.3 supports LeftOuter+BuildLeft SHJ;
+    plan-asserted) — r6 replaced the earlier inner + left-join-back
+    form, which paid two extra batch exchanges for the same rows."""
+    exact = (
         _scale_hint(batch_fp, small)
-        .join(corpus_fp, "fp")
+        .join(corpus_fp, "fp", "left")
         .select("doc_id", "exact_match")
     )
     if batch_buckets is None:
@@ -1432,9 +1442,6 @@ def _classify_batch(
         .filter(F.col("est") >= threshold)
         .groupBy("doc_id")
         .agg(F.min("cdoc").alias("near_match"))
-    )
-    exact = batch_fp.select("doc_id").join(
-        _scale_hint(exact_hits, small), "doc_id", "left"
     )
     # the near table is batch-doc-level — still corpus-growth-sized, so it
     # rides the same gate (a broadcast here is a driver collect of every
@@ -1502,8 +1509,11 @@ def _ingest_index_key() -> str:
     from .sampling import _u_col
 
     return _content_key(
+        # sig-int-v2: the packed signature element type is part of the
+        # index identity (array<int> since r6 — bkey hashes and sig_b
+        # bytes both depend on it)
         f"ingest-index|{INGEST_SEED}|{INGEST_FRACTION}|"
-        f"{MINHASH_SEEDS}x{LSH_BANDS}|v1",
+        f"{MINHASH_SEEDS}x{LSH_BANDS}|sig-int-v2",
         code=(shingles, minhash_signatures, _band_buckets, _u_col),
     )
 

@@ -676,7 +676,7 @@ def decontaminate_bloom(
 
     sh = _stage_or_checkpoint(
         spark,
-        shingles(spark).distinct(),
+        lambda: shingles(spark).distinct(),
         "distinct_shingles",
         f"SELECT DISTINCT doc_id, shingle FROM ({shingles_sql()}) __s",
         sf_dir,
