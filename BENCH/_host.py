@@ -50,7 +50,42 @@ def cpu_control(low: int = 4, high: int = 16) -> dict:
     return out
 
 
+def _stream(nbytes: int) -> float:
+    """Per-process memory-streaming time: repeatedly reduce a buffer that
+    far exceeds L3, so the loop is DRAM-bandwidth-bound, not ALU-bound."""
+    import numpy as np
+
+    a = np.ones(nbytes // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(8):
+        s += float(a.sum())
+    dt = time.perf_counter() - t0
+    assert s > 0
+    return dt
+
+
+def mem_control(low: int = 4, high: int = 16, nbytes: int = 256 * 1024 * 1024) -> dict:
+    """cpu_control's memory-bandwidth twin: per-process wall of an
+    identical DRAM-streaming reduction at ``low``- vs ``high``-way
+    concurrency.  On hosts whose memory bus saturates below
+    ``high``-way, ``mem_parallel_capacity`` < 1 quantifies the ceiling a
+    memory-bound Spark stage (wide-array scans, hash probes) cannot
+    exceed no matter how clean the CPU control looks — the r6 ingest
+    decomposition showed exactly this split (CPU control ≥ 0.96 while
+    streaming task time inflated 1.6× from 4→16 concurrent tasks)."""
+    out = {}
+    for procs in (low, high):
+        with mp.Pool(procs) as p:
+            times = p.map(_stream, [nbytes] * procs)
+        out[f"mem_per_proc_sec_{procs}"] = round(sum(times) / len(times), 3)
+    out["mem_parallel_capacity"] = round(
+        out[f"mem_per_proc_sec_{low}"] / out[f"mem_per_proc_sec_{high}"], 3
+    )
+    return out
+
+
 if __name__ == "__main__":
     import json
 
-    print(json.dumps(cpu_control()))
+    print(json.dumps({**cpu_control(), **mem_control()}))

@@ -7,7 +7,8 @@ This harness replicates documents ×REPL (same textually-distinct
 replica snapshot dedup_scale.py builds), commits the packed-signature
 stage UNTIMED (disclosed as cold_stage_sec), then times
 dedup.dedup_incremental — the warm, stage-reading service path — at
-local[4] vs local[16], interleaved best-of-2 per level.  Throughput is
+local[4] vs local[16], min-of-6 reps per worker, workers interleaved.
+Throughput is
 arrivals classified per second.  Writes its own BASELINE.md section.
 """
 
@@ -132,9 +133,9 @@ def run(cores: int, repl: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repl = int(os.environ.get("DEDUP_SCALE_REPL", "128"))
-    from _host import cpu_control
+    from _host import cpu_control, mem_control
 
-    host = cpu_control()
+    host = {**cpu_control(), **mem_control()}
     print(json.dumps({"host_control": host}))
     runs4 = [run(4, repl, sf_dir)]
     runs16 = [run(16, repl, sf_dir)]
@@ -143,10 +144,12 @@ def main() -> None:
     rN = min(runs4, key=lambda r: r["sec"])
     r4N = min(runs16, key=lambda r: r["sec"])
     eff = (r4N["arrivals_per_sec"] / rN["arrivals_per_sec"]) / 4.0
-    # data-path efficiency: the executor task-seconds the workload costs
-    # should be core-count invariant; its ratio isolates the scaling of
-    # the DATA PATH from the per-stage orchestration constant (which
-    # does not shrink with cores and amortizes with batch size instead)
+    # data-path task-second ratio: on ideal hardware the executor
+    # task-seconds the workload costs are core-count invariant (ratio 1);
+    # <1 quantifies concurrent-execution inflation (memory / shuffle-disk
+    # contention at higher parallelism) — the residual after the
+    # orchestration constant, which does not shrink with cores and
+    # amortizes with batch size instead
     eff_dp = (
         round(rN["task_sec"] / r4N["task_sec"], 3)
         if rN.get("task_sec") and r4N.get("task_sec") else None
@@ -164,12 +167,13 @@ def main() -> None:
             f"| metric | value | config |\n|---|---|---|\n"
             f"| arrivals/sec @ local[4] (N) | {rN['arrivals_per_sec']} | {rN['arrivals']} arrivals vs {rN['docs']}-doc corpus in {rN['sec']} s |\n"
             f"| arrivals/sec @ local[16] (4N) | {r4N['arrivals_per_sec']} | same input, same plan |\n"
-            f"| scaling efficiency N→4N (wall) | **{round(eff, 3)}** | best-of-2 interleaved |\n"
+            f"| scaling efficiency N→4N (wall) | **{round(eff, 3)}** | min-of-6 reps, interleaved workers |\n"
             f"| data-path task-seconds N / 4N | {rN.get('task_sec')} / {r4N.get('task_sec')} | executor task time of the timed run (event log) |\n"
-            f"| data-path efficiency N→4N | **{result['data_path_efficiency']}** | task-second ratio — the work the cluster does is core-count invariant |\n"
+            f"| data-path task-second ratio N/4N | **{result['data_path_efficiency']}** | <1 quantifies concurrent-execution inflation (memory/shuffle contention), the residual after the orchestration constant |\n"
             f"| orchestration floor (wall − task/cores) | {rN.get('orchestration_sec')} s @N / {r4N.get('orchestration_sec')} s @4N | per-stage scheduling constant: does NOT shrink with cores, amortizes with batch size |\n"
             f"| signature-stage + probe-index cold build (untimed service setup) | {r4N['cold_stage_sec']} s @ local[16] | committed once per corpus, every ingest reads it |\n"
-            f"| host parallel-capacity control (pure-CPU, no JVM) | {host['parallel_capacity']} | per-proc {host['per_proc_sec_4']} s @4-way vs {host['per_proc_sec_16']} s @16-way; <0.85 = degraded window |\n\n"
+            f"| host parallel-capacity control (pure-CPU, no JVM) | {host['parallel_capacity']} | per-proc {host['per_proc_sec_4']} s @4-way vs {host['per_proc_sec_16']} s @16-way; <0.85 = degraded window |\n"
+            f"| host MEMORY-BANDWIDTH control (numpy DRAM streaming) | **{host['mem_parallel_capacity']}** | per-proc {host['mem_per_proc_sec_4']} s @4-way vs {host['mem_per_proc_sec_16']} s @16-way — the bus ceiling any memory-bound stage inherits |\n\n"
             f"The timed path is the steady-state ingest service: exact fingerprint\n"
             f"probe + LSH banding of the arrival batch against the COMMITTED BUCKETED\n"
             f"corpus probe index (ingest_fp_idx / ingest_band_idx / ingest_sig_idx,\n"

@@ -70,7 +70,9 @@ def workload():
 workload()  # warm-up: JIT + codegen + cache
 rows = big.count() * 2
 dt = None
-for _ in range(2):  # steady-state: best of 2 timed runs
+for _ in range(4):  # steady-state: best of 4 (r6: identical reps measured
+                    # swinging 2-4x across hypervisor windows; best-of-2
+                    # was routinely unlucky)
     t0 = time.perf_counter()
     workload()
     d = time.perf_counter() - t0
@@ -103,9 +105,9 @@ def main() -> None:
     # measurements on a shared VM showed ±40% wall variance (including
     # impossible superlinear "speedups"), so min-of-interleaved is the
     # defensible estimator
-    from _host import cpu_control
+    from _host import cpu_control, mem_control
 
-    host = cpu_control()
+    host = {**cpu_control(), **mem_control()}
     print(json.dumps({"host_control": host}))
     runs4 = [run(4, repl, sf_dir)]
     runs16 = [run(16, repl, sf_dir)]
@@ -129,6 +131,7 @@ levels; throughput = processed site-rows/sec (3 operators × |sites|).
 | rows/sec @ local[16] (4N) | {r32["rows_per_sec"]} | {r32["rows"]} rows in {r32["sec"]} s |
 | scaling efficiency N→4N cores | **{eff:.3f}** | target ≥ 0.8 |
 | host parallel-capacity control (pure-CPU, no JVM) | {host["parallel_capacity"]} | per-proc {host["per_proc_sec_4"]} s @4-way vs {host["per_proc_sec_16"]} s @16-way; <0.85 = degraded window, ratio understates the engine |
+| host memory-bandwidth control (numpy DRAM streaming) | {host["mem_parallel_capacity"]} | per-proc {host["mem_per_proc_sec_4"]} s @4-way vs {host["mem_per_proc_sec_16"]} s @16-way — the ceiling memory-bound stages inherit |
 
 Efficiency = (T_4N / T_N) / 4, best-of-2 interleaved runs per level.  Generated by `python BENCH/scaling.py`.
 """

@@ -382,23 +382,31 @@ def _packed_signatures(
     (minhash_signatures / its SQL twin keep the mh0..mh63 schema; no
     oracle reads the stage itself)."""
     def packed_plan() -> DataFrame:
-        # array<int>, not array<bigint>: every component is
-        # (a·h + b) mod (2^31 − 1) < 2^31 by construction, so INT is
-        # lossless — and the signature stream is the ingest service's
-        # dominant memory traffic (the refine join streams the whole
-        # corpus side), so halving the element width halves the bytes of
-        # the heaviest scan (guide §2.3 "narrower types").  Agreement
-        # compares and est arithmetic are value-identical.
-        arr = "array(" + ", ".join(
-            f"CAST(mh{i} AS INT)" for i in range(MINHASH_SEEDS)
-        ) + ")"
-        return minhash_signatures(spark).selectExpr("doc_id", f"{arr} AS sig")
+        return minhash_signatures(spark).selectExpr(
+            "doc_id", f"{_packed_sig_expr()} AS sig"
+        )
 
     return _stage_or_checkpoint(
         spark, packed_plan, "minhash_sig_packed",
         minhash_signatures_sql() + "|packed-v2-int", sf_dir,
         code=(shingles, minhash_signatures), force=force_stage,
     )
+
+
+def _packed_sig_expr() -> str:
+    """SQL for the packed signature array — array<int>, not
+    array<bigint>: every component is (a·h + b) mod (2^31 − 1) < 2^31 by
+    construction, so INT is lossless — and the signature stream is the
+    ingest service's dominant memory traffic (the refine join streams
+    the whole corpus side), so halving the element width halves the
+    bytes of the heaviest scan (guide §2.3 "narrower types").  Agreement
+    compares and est arithmetic are value-identical.  EVERY packer must
+    use this expression: the LSH band key hashes the array bytes, so an
+    arrival packed as bigint would never collide with an int-packed
+    corpus index (caught by the streaming batch-equivalence test)."""
+    return "array(" + ", ".join(
+        f"CAST(mh{i} AS INT)" for i in range(MINHASH_SEEDS)
+    ) + ")"
 
 
 def _band_buckets(packed: DataFrame) -> DataFrame:
@@ -1492,9 +1500,11 @@ def classify_arrivals(
             marked, packed, small
         )
     batch_fp = arrivals.select("doc_id", F.md5("text").alias("fp"))
-    batch_sigs = minhash_signatures(spark, arrivals).select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig"),
+    # same packed element type as the committed stage (_packed_sig_expr):
+    # the band-key hash is type-sensitive, so a differently-packed arrival
+    # would silently never collide with the corpus index
+    batch_sigs = minhash_signatures(spark, arrivals).selectExpr(
+        "doc_id", f"{_packed_sig_expr()} AS sig"
     )
     return _classify_batch(
         batch_fp, batch_sigs, corpus_fp, corpus_buckets, corpus_sigs, threshold, small
@@ -1556,9 +1566,10 @@ def commit_arrivals(
         .groupBy("fp")
         .agg(F.min("doc_id").alias("exact_match"))
     )
-    sigs = minhash_signatures(spark, ndocs).select(
-        F.col("doc_id").alias("cdoc"),
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_SEEDS)]).alias("sig_b"),
+    # _packed_sig_expr: appended rows must pack the SAME element type as
+    # the committed index (the band-key hash is type-sensitive)
+    sigs = minhash_signatures(spark, ndocs).selectExpr(
+        "doc_id AS cdoc", f"{_packed_sig_expr()} AS sig_b"
     )
     band_rows = _band_buckets(
         sigs.select(F.col("cdoc").alias("doc_id"), F.col("sig_b").alias("sig"))

@@ -104,10 +104,15 @@ class TestCorpusTileWrite:
             assert r["tile"] == first.get(r["doc_id"], documents.UNTILED)
 
         # partition pruning: a single-tile read plans only that directory
+        # (the pruning predicate is the tile equality; r6 turned off
+        # constraint propagation, which used to add a redundant
+        # isnotnull(tile) alongside it)
+        import re
+
         some_tile = written.filter(F.col("tile") != documents.UNTILED).first()["tile"]
         one = geo.read.parquet(out).filter(F.col("tile") == some_tile)
         plan = one._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters: [isnotnull(tile" in plan
+        assert re.search(r"PartitionFilters: \[[^\]]*\(tile#\d+ = ", plan)
 
     def test_hot_tile_splits_across_salted_writers(self, geo, tmp_path):
         """Crafted urban-core skew via the assignment override: 240 of
