@@ -133,7 +133,7 @@ levels; throughput = processed site-rows/sec (3 operators × |sites|).
 | host parallel-capacity control (pure-CPU, no JVM) | {host["parallel_capacity"]} | per-proc {host["per_proc_sec_4"]} s @4-way vs {host["per_proc_sec_16"]} s @16-way; <0.85 = degraded window, ratio understates the engine |
 | host memory-bandwidth control (numpy DRAM streaming) | {host["mem_parallel_capacity"]} | per-proc {host["mem_per_proc_sec_4"]} s @4-way vs {host["mem_per_proc_sec_16"]} s @16-way — the ceiling memory-bound stages inherit |
 
-Efficiency = (T_4N / T_N) / 4, best-of-2 interleaved runs per level.  Generated by `python BENCH/scaling.py`.
+Efficiency = (T_4N / T_N) / 4, min-of-4 timed reps per worker, workers interleaved.  Generated by `python BENCH/scaling.py`.
 """
     # replace only this harness's header section; the other harnesses
     # (dedup_scale, skew_ring) append their own "## ..." sections below it
